@@ -1,0 +1,88 @@
+"""Structured hyper-rectangle mesh generator.
+
+Replicates the reference's ``create_mesh()`` semantics
+(``PoroelasticityFSS.h:419-435``): a rectangle/box centered at the origin
+spanning ``[-size_d/2, +size_d/2]`` per axis, globally refined ``level``
+times (``2**level`` cells per axis), with deal.II ``colorize=true`` boundary
+ids: 0/1 = low/high x, 2/3 = low/high y, 4/5 = low/high z (see the comment
+block in the reference ``input.data``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .core import Mesh
+
+
+def hyper_rectangle(domain_size, refinement_level: int,
+                    lower=None, upper=None) -> Mesh:
+    """Structured quad/hex mesh with 2**refinement_level cells per axis."""
+    domain_size = np.asarray(domain_size, dtype=np.float64)
+    dim = len(domain_size)
+    n = 2 ** refinement_level  # cells per axis
+    if lower is None:
+        lower = -domain_size / 2.0
+    if upper is None:
+        upper = domain_size / 2.0
+    lower = np.asarray(lower, dtype=np.float64)
+    upper = np.asarray(upper, dtype=np.float64)
+
+    # vertices, lexicographic x fastest
+    axes = [np.linspace(lower[d], upper[d], n + 1) for d in range(dim)]
+    idx = np.indices([n + 1] * dim).reshape(dim, -1)  # C-order: last fastest
+    coord_idx = [idx[dim - 1 - d] for d in range(dim)]  # coord d index array
+    vertices = np.stack([axes[d][coord_idx[d]] for d in range(dim)], axis=-1)
+
+    def vid(ix):  # ix: (dim, ...) integer coords -> global vertex id
+        out = np.zeros_like(ix[0])
+        stride = 1
+        for d in range(dim):
+            out = out + ix[d] * stride
+            stride *= (n + 1)
+        return out
+
+    # cells, lexicographic x fastest; local corners lexicographic too
+    cidx = np.indices([n] * dim).reshape(dim, -1)
+    ccoord = [cidx[dim - 1 - d] for d in range(dim)]  # coord-d cell index
+    corners = []
+    for corner in range(2 ** dim):
+        off = [(corner >> d) & 1 for d in range(dim)]
+        corners.append(vid([ccoord[d] + off[d] for d in range(dim)]))
+    cells = np.stack(corners, axis=-1).astype(np.int32)
+
+    # cell flat index from per-axis cell coords (x fastest)
+    def cell_id(cc):
+        out = np.zeros_like(cc[0])
+        stride = 1
+        for d in range(dim):
+            out = out + cc[d] * stride
+            stride *= n
+        return out
+
+    face_cells, face_local, face_ids = [], [], []
+    for d in range(dim):
+        other = [a for a in range(dim) if a != d]
+        oidx = np.indices([n] * (dim - 1)).reshape(dim - 1, -1)
+        # lexicographic over remaining axes, lowest-numbered axis fastest
+        ocoord = [oidx[dim - 2 - k] for k in range(dim - 1)]
+        for side in (0, 1):
+            cc = [None] * dim
+            cc[d] = np.full(ocoord[0].shape if ocoord else (1,),
+                            0 if side == 0 else n - 1, dtype=np.int64)
+            if dim == 1:
+                cc[d] = np.array([0 if side == 0 else n - 1])
+            for k, a in enumerate(other):
+                cc[a] = ocoord[k]
+            face_cells.append(cell_id(cc))
+            face_local.append(np.full(cc[0].shape, 2 * d + side, np.int32))
+            face_ids.append(np.full(cc[0].shape, 2 * d + side, np.int32))
+
+    return Mesh(
+        dim=dim,
+        vertices=vertices,
+        cells=cells,
+        face_cells=np.concatenate(face_cells).astype(np.int32),
+        face_local=np.concatenate(face_local).astype(np.int32),
+        face_ids=np.concatenate(face_ids).astype(np.int32),
+    )

@@ -1,0 +1,95 @@
+"""Host-side simulation driver.
+
+The replacement for ``PoroElasticProblem::run()``
+(``PoroelasticityFSS.h:295-415``) minus what is compiled on-chip: this layer
+only builds the problem, steps time, and handles I/O (VTK, run log,
+checkpoints).  One jit-compiled ``FixedStressSolver.time_step`` call does all
+numerics for a Δt.
+
+AMR (the reference refines every 5th step, ``:333-340``) is an explicitly
+gated feature: uniform static meshes are the baseline configuration (SURVEY
+§7 defers AMR; ``configs`` in BASELINE.json don't require it).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..config import InputData, read_input_file
+from ..mesh import hyper_rectangle, read_msh
+from ..solvers import FixedStressSolver, build_discretization
+from ..solvers.fss import State
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.logging_utils import RunLogger
+from ..utils.vtk_io import displacement_at_pressure_nodes, write_vtk
+
+
+class SimulationRunner:
+    def __init__(self, data: InputData, mesh=None, logger: Optional[RunLogger] = None):
+        self.data = data
+        if mesh is None:
+            if data.mesh_file:
+                mesh = read_msh(data.mesh_file, dim=data.dim)
+            else:
+                mesh = hyper_rectangle(data.domain_size[:data.dim],
+                                       data.initial_refinement_level)
+        self.mesh = mesh
+        self.disc = build_discretization(mesh, data)
+        self.solver = FixedStressSolver(self.disc, data)
+        self.logger = logger or RunLogger(
+            os.path.join(data.output_directory, "run_log.jsonl"))
+
+    # -------------------------------------------------------------------
+    def output(self, state: State, step: int):
+        if not self.data.output_vtk:
+            return
+        sp = self.disc.pressure_space
+        su = self.disc.displacement_space
+        u_p = displacement_at_pressure_nodes(sp, su, np.asarray(state.u))
+        stresses = np.asarray(self.solver.effective_stresses(state.strains))
+        path = os.path.join(self.data.output_directory,
+                            f"solution-{step:04d}.vtk")
+        write_vtk(path, sp, u_p, np.asarray(state.p),
+                  np.asarray(state.strains), stresses)
+
+    # -------------------------------------------------------------------
+    def run(self, resume_from: Optional[str] = None) -> State:
+        data = self.data
+        if resume_from:
+            state, t, step = load_checkpoint(resume_from, self.disc.dtype)
+        else:
+            state, t, step = self.solver.initial_state(), 0.0, 0
+            self.output(state, 0)
+
+        dt = data.time_step
+        while t < data.t_max:
+            t += dt
+            step += 1
+            t0 = time.perf_counter()
+            state, stats = self.solver.time_step(state, dt)
+            state.p.block_until_ready()
+            wall = time.perf_counter() - t0
+            self.logger.log_step(step, t, stats, wall)
+            self.output(state, step)
+            if data.checkpoint_every and step % data.checkpoint_every == 0:
+                save_checkpoint(
+                    os.path.join(data.checkpoint_directory,
+                                 f"ckpt-{step:06d}.npz"),
+                    state, t, step)
+            if not np.isfinite(float(stats.pressure_error)):
+                raise FloatingPointError(
+                    f"FSS residual diverged at step {step}")
+        self.logger.close()
+        return state
+
+
+def run_from_deck(path: str, resume_from: Optional[str] = None) -> State:
+    """CLI entry: deck file -> full simulation (parse_command_line.h + main
+    semantics)."""
+    data = read_input_file(path)
+    runner = SimulationRunner(data)
+    return runner.run(resume_from=resume_from)

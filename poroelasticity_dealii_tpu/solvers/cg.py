@@ -1,0 +1,88 @@
+"""Preconditioned conjugate gradients as a jitted ``lax.while_loop``.
+
+Replaces the reference's deal.II ``SolverCG`` + ``PreconditionSSOR`` calls
+(``PoroElasticPressureSolver.h:172-185``,
+``PoroElasticDisplacementSolver.h:294-307``, ``StrainProjector.h:201-232``).
+SSOR is a sequential triangular sweep and therefore not TPU-idiomatic; we use
+Jacobi (diagonal) preconditioning, which vectorizes perfectly — the
+equivalence target is identical solutions at the same tolerances with
+iteration counts of the same order (SURVEY §7 hard-part 3).
+
+Everything runs on-chip: the convergence check is a scalar in the while_loop
+carry, so no host synchronization happens per iteration.  Multi-RHS solves
+(the strain projection) are ``jax.vmap`` of this function: converged lanes
+freeze their state while the rest keep iterating.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray   # int32 — number of A-applies performed
+    residual_norm: jnp.ndarray
+    converged: jnp.ndarray    # bool
+
+
+def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
+             diag: jnp.ndarray, tol: jnp.ndarray, max_iter: int) -> CGResult:
+    """Solve ``A x = b`` with Jacobi-preconditioned CG.
+
+    Args:
+      apply_a: SPD operator ``x -> A x`` (matrix-free).
+      b: right-hand side.
+      x0: initial guess (the reference warm-starts from the previous
+        solution — deal.II ``cg.solve`` uses the solution vector's incoming
+        content as the start vector).
+      diag: operator diagonal (Jacobi preconditioner).
+      tol: *absolute* residual L2 tolerance — callers pass
+        ``1e-8 * ||b||`` / ``1e-12`` etc. to match SolverControl semantics.
+      max_iter: iteration cap (reference uses 1000).
+    """
+    inv_diag = 1.0 / diag
+
+    r0 = b - apply_a(x0)
+    z0 = r0 * inv_diag
+    rz0 = jnp.vdot(r0, z0)
+    rnorm0 = jnp.linalg.norm(r0)
+
+    def cond(state):
+        k, _, _, _, rz, rnorm = state
+        return (k < max_iter) & (rnorm > tol)
+
+    def body(state):
+        k, x, r, p, rz, rnorm = state
+        ap = apply_a(p)
+        alpha = rz / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = r * inv_diag
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (k + 1, x, r, p, rz_new, jnp.linalg.norm(r))
+
+    init = (jnp.int32(0), x0, r0, z0, rz0, rnorm0)
+    k, x, r, p, rz, rnorm = lax.while_loop(cond, body, init)
+    return CGResult(x=x, iterations=k, residual_norm=rnorm,
+                    converged=rnorm <= tol)
+
+
+def cg_solve_batched(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
+                     diag: jnp.ndarray, tol: jnp.ndarray,
+                     max_iter: int) -> CGResult:
+    """vmapped multi-RHS CG sharing one operator and preconditioner.
+
+    Used for the strain projection's one-mass-matrix / many-components solves
+    (``StrainProjector.h:201-232`` — the reference solves them serially; here
+    all components run as one batched solve).  ``b``/``x0``: (n_rhs, n);
+    ``tol``: (n_rhs,) absolute tolerances.
+    """
+    f = partial(cg_solve, apply_a, max_iter=max_iter)
+    return jax.vmap(lambda bb, xx, tt: f(bb, xx, diag=diag, tol=tt))(b, x0, tol)

@@ -1,0 +1,289 @@
+"""Setup: mesh + config -> device-resident discrete problem arrays.
+
+This is the one-time analogue of the reference's ``setup_dofs`` chain
+(``PoroelasticityFSS.h:132-151``) plus everything the reference recomputes
+every assembly but that is actually constant for a fixed mesh: Jacobian
+factors, the well-source FEM vector (``right_hand_side.h:99-116`` via
+``PoroElasticPressureSolver.h:142-148``), the Neumann traction vector
+(``PoroElasticDisplacementSolver.h:249-277``) and Dirichlet constraint masks
+(``PoroElasticDisplacementSolver.h:117-134``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import InputData
+from ..mesh.core import FESpace, Mesh
+from ..mesh.qk import build_fe_space
+from ..ops.geometry import geometry_factors
+from ..ops.quadrature import gauss_1d, gauss_tensor
+from ..ops.shape import face_lattice_indices, shape_tables
+from ..ops import operators as ops
+
+
+@dataclasses.dataclass
+class Discretization:
+    """All arrays the jitted solve path closes over. Immutable after build."""
+
+    dim: int
+    dtype: jnp.dtype
+    # spaces (host-side, for output/inspection)
+    pressure_space: FESpace
+    displacement_space: FESpace
+    # connectivity
+    conn_p: jnp.ndarray        # (E, Np)
+    conn_u: jnp.ndarray        # (E, Nu*dim), interleaved comps
+    # shape tables (compile-time-constant sized)
+    psi_p_at_pq: jnp.ndarray   # (Qp, Np)
+    dref_p_at_pq: jnp.ndarray  # (Qp, Np, dim)
+    psi_p_at_uq: jnp.ndarray   # (Qu, Np)
+    dref_u_at_uq: jnp.ndarray  # (Qu, Nud, dim)
+    dref_u_at_pq: jnp.ndarray  # (Qp, Nud, dim)
+    # geometry factors
+    jinv_u: jnp.ndarray        # (E, Qu, dim, dim)
+    jxw_u: jnp.ndarray         # (E, Qu)
+    jinv_p: jnp.ndarray        # (E, Qp, dim, dim)
+    jxw_p: jnp.ndarray         # (E, Qp)
+    # boundary conditions
+    free_mask_u: jnp.ndarray   # (n_udofs,) 1.0 free / 0.0 dirichlet
+    dirichlet_values: jnp.ndarray  # (n_udofs,) 0 on free dofs
+    f_neumann: jnp.ndarray     # (n_udofs,)
+    f_well: jnp.ndarray        # (n_pdofs,)
+    # preconditioner diagonals
+    diag_mass: jnp.ndarray     # (n_pdofs,)
+    diag_laplace: jnp.ndarray  # (n_pdofs,)
+    diag_elasticity: jnp.ndarray  # (n_udofs,) — dirichlet-masked to 1
+    # material scalars
+    lam: float
+    mu: float
+
+    @property
+    def n_pdofs(self) -> int:
+        return self.pressure_space.n_nodes
+
+    @property
+    def n_udofs(self) -> int:
+        return self.pressure_space.mesh.dim * self.displacement_space.n_nodes
+
+    @property
+    def n_cells(self) -> int:
+        return self.conn_p.shape[0]
+
+    # ---- operator closures (matrix-free) ---------------------------------
+    def mass(self, p):
+        return ops.apply_mass(p, self.conn_p, self.psi_p_at_pq, self.jxw_p)
+
+    def laplace(self, p):
+        return ops.apply_laplace(p, self.conn_p, self.dref_p_at_pq,
+                                 self.jinv_p, self.jxw_p)
+
+    def elasticity(self, u):
+        return ops.apply_elasticity(u, self.conn_u, self.dref_u_at_uq,
+                                    self.jinv_u, self.jxw_u, self.lam, self.mu)
+
+    def elasticity_constrained(self, u):
+        return ops.constrained_apply(self.elasticity, self.free_mask_u)(u)
+
+    def coupling_rhs(self, p, biot_coef):
+        return ops.coupling_rhs(p, self.conn_p, self.conn_u, self.psi_p_at_uq,
+                                self.dref_u_at_uq, self.jinv_u, self.jxw_u,
+                                biot_coef, self.n_udofs)
+
+    def strain_projection_rhs(self, u):
+        return ops.strain_projection_rhs(u, self.conn_u, self.conn_p,
+                                         self.psi_p_at_pq, self.dref_u_at_pq,
+                                         self.jinv_p, self.jxw_p,
+                                         self.n_pdofs)
+
+
+def _embedded_face_points(local_face: int, pts_f: np.ndarray, dim: int):
+    """Map (dim-1)-dimensional face quad points into cell reference coords."""
+    d, side = divmod(local_face, 2)
+    other = [a for a in range(dim) if a != d]
+    n = pts_f.shape[0] if pts_f.ndim else 1
+    out = np.zeros((max(n, 1), dim))
+    out[:, d] = -1.0 if side == 0 else 1.0
+    for k, a in enumerate(other):
+        out[:, a] = pts_f[:, k]
+    return out
+
+
+def _neumann_vector(mesh: Mesh, u_space: FESpace, data: InputData) -> np.ndarray:
+    """Assemble ∫_face phi_n * value * n_comp ds over all stress boundaries.
+
+    Semantics match the reference exactly: the applied traction on component
+    c is ``value * n_c`` (normal-component-scaled scalar, not a raw traction
+    vector — quirk documented in SURVEY §2.1.11;
+    PoroElasticDisplacementSolver.h:263-273).
+    """
+    dim = mesh.dim
+    ku = u_space.degree
+    n_udofs = u_space.n_nodes * dim
+    f = np.zeros(n_udofs)
+    if not data.stress_boundary_labels:
+        return f
+    if dim == 1:
+        raise NotImplementedError("Neumann faces in 1D")
+    pts_f, wts_f = gauss_tensor(ku + 1, dim - 1)
+    corner_xyz = mesh.vertices[mesh.cells]
+
+    for local_face in range(2 * dim):
+        sel = mesh.face_local == local_face
+        if not sel.any():
+            continue
+        cells_f = mesh.face_cells[sel]
+        ids_f = mesh.face_ids[sel]
+        d, side = divmod(local_face, 2)
+        ref_pts = _embedded_face_points(local_face, pts_f, dim)
+        # geometry at embedded points
+        _, dn1 = shape_tables(1, dim, ref_pts)
+        xc = corner_xyz[cells_f]                          # (F, 2^d, dim)
+        jac = np.einsum("fvi,qvj->fqij", xc, dn1)         # (F, Q, dim, dim)
+        other = [a for a in range(dim) if a != d]
+        if dim == 2:
+            t = jac[:, :, :, other[0]]
+            area = np.linalg.norm(t, axis=-1)
+        else:
+            t1 = jac[:, :, :, other[0]]
+            t2 = jac[:, :, :, other[1]]
+            area = np.linalg.norm(np.cross(t1, t2), axis=-1)
+        jxw_f = area * wts_f[None, :]
+        # unit outward normal ∝ ± row d of J^{-1}
+        jinv = np.linalg.inv(jac)
+        ndir = jinv[:, :, d, :] * (1.0 if side == 1 else -1.0)
+        normal = ndir / np.linalg.norm(ndir, axis=-1, keepdims=True)
+        # displacement shape values at the embedded points
+        phi_u, _ = shape_tables(ku, dim, ref_pts)          # (Q, Nnodes)
+        cell_nodes_f = u_space.cell_nodes[cells_f]         # (F, Nnodes)
+        for lbl, comp, val in zip(data.stress_boundary_labels,
+                                  data.stress_boundary_components,
+                                  data.stress_boundary_values):
+            m = ids_f == lbl
+            if not m.any():
+                continue
+            contrib = np.einsum("fq,qn->fn",
+                                val * normal[m][:, :, comp] * jxw_f[m], phi_u)
+            dofs = cell_nodes_f[m] * dim + comp
+            np.add.at(f, dofs.reshape(-1), contrib.reshape(-1))
+    return f
+
+
+def _dirichlet_constraints(mesh: Mesh, u_space: FESpace, data: InputData):
+    """First-condition-wins Dirichlet (node, component) pinning, matching
+    deal.II interpolate_boundary_values into a ConstraintMatrix
+    (PoroElasticDisplacementSolver.h:117-134)."""
+    dim = mesh.dim
+    n_udofs = u_space.n_nodes * dim
+    free = np.ones(n_udofs, dtype=bool)
+    values = np.zeros(n_udofs)
+    faces_lat = face_lattice_indices(u_space.degree, dim)
+    for lbl, comp, val in zip(data.displacement_boundary_labels,
+                              data.displacement_boundary_components,
+                              data.displacement_boundary_values):
+        sel = mesh.face_ids == lbl
+        if not sel.any():
+            continue
+        for local_face in np.unique(mesh.face_local[sel]):
+            m = sel & (mesh.face_local == local_face)
+            nodes = u_space.cell_nodes[mesh.face_cells[m]][:, faces_lat[local_face]]
+            dofs = np.unique(nodes.astype(np.int64) * dim + comp)
+            newly = free[dofs]
+            values[dofs[newly]] = val
+            free[dofs[newly]] = False
+    return free, values
+
+
+def _well_vector(p_space: FESpace, data: InputData,
+                 jxw_p: np.ndarray, psi_p: np.ndarray,
+                 x_q: np.ndarray) -> np.ndarray:
+    """FEM RHS of the disc-shaped well source (right_hand_side.h:99-116):
+    q(x) = -Q/(pi r²) where x²+y² <= r², else 0.  In 3D the radial distance
+    uses the first two coordinates (a vertical line well through the origin);
+    the reference asserts dim == 2 and never defines a 3D well."""
+    r2 = x_q[..., 0] ** 2 + (x_q[..., 1] ** 2 if x_q.shape[-1] > 1 else 0.0)
+    src = np.where(r2 <= data.r_well ** 2,
+                   -data.flow_rate / (np.pi * data.r_well ** 2), 0.0)
+    fe = np.einsum("eq,qi->ei", jxw_p * src, psi_p)
+    f = np.zeros(p_space.n_nodes)
+    np.add.at(f, p_space.cell_nodes.reshape(-1), fe.reshape(-1))
+    return f
+
+
+def build_discretization(mesh: Mesh, data: InputData,
+                         pressure_degree: int = 1,
+                         displacement_degree: int = 2,
+                         dtype: Optional[np.dtype] = None) -> Discretization:
+    """Build everything. Degrees default to the reference's hardcoded
+    Q1 pressure / Q2 displacement (PoroElasticPressureSolver.h:20,
+    PoroElasticDisplacementSolver.h:67)."""
+    dim = mesh.dim
+    if dtype is None:
+        dtype = np.float64 if data.dtype == "float64" else np.float32
+    dtype = np.dtype(dtype)
+
+    p_space = build_fe_space(mesh, pressure_degree)
+    u_space = build_fe_space(mesh, displacement_degree)
+
+    # quadratures: QGauss(fe.degree + 1) per space
+    pq_pts, pq_wts = gauss_tensor(pressure_degree + 1, dim)
+    uq_pts, uq_wts = gauss_tensor(displacement_degree + 1, dim)
+
+    corner_xyz = mesh.vertices[mesh.cells]
+    jinv_p, jxw_p = geometry_factors(corner_xyz, pq_pts, pq_wts)
+    jinv_u, jxw_u = geometry_factors(corner_xyz, uq_pts, uq_wts)
+    jinv_p, jxw_p = np.asarray(jinv_p), np.asarray(jxw_p)
+    jinv_u, jxw_u = np.asarray(jinv_u), np.asarray(jxw_u)
+
+    psi_p_at_pq, dref_p_at_pq = shape_tables(pressure_degree, dim, pq_pts)
+    psi_p_at_uq, _ = shape_tables(pressure_degree, dim, uq_pts)
+    _, dref_u_at_uq = shape_tables(displacement_degree, dim, uq_pts)
+    _, dref_u_at_pq = shape_tables(displacement_degree, dim, pq_pts)
+
+    conn_p = p_space.cell_nodes
+    conn_u = u_space.vector_cell_dofs(dim)
+
+    # physical coordinates of pressure quadrature points (for the well)
+    n1_at_pq, _ = shape_tables(1, dim, pq_pts)
+    x_q = np.einsum("qv,evd->eqd", n1_at_pq, corner_xyz)
+
+    f_well = _well_vector(p_space, data, jxw_p, psi_p_at_pq, x_q)
+    f_neumann = _neumann_vector(mesh, u_space, data)
+    free_np, dirichlet_np = _dirichlet_constraints(mesh, u_space, data)
+
+    lam, mu = data.lame_constant, data.shear_modulus
+
+    jp = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)  # noqa: E731
+
+    d = Discretization(
+        dim=dim, dtype=jnp.dtype(dtype),
+        pressure_space=p_space, displacement_space=u_space,
+        conn_p=jnp.asarray(conn_p), conn_u=jnp.asarray(conn_u),
+        psi_p_at_pq=jp(psi_p_at_pq), dref_p_at_pq=jp(dref_p_at_pq),
+        psi_p_at_uq=jp(psi_p_at_uq), dref_u_at_uq=jp(dref_u_at_uq),
+        dref_u_at_pq=jp(dref_u_at_pq),
+        jinv_u=jp(jinv_u), jxw_u=jp(jxw_u),
+        jinv_p=jp(jinv_p), jxw_p=jp(jxw_p),
+        free_mask_u=jp(free_np.astype(np.float64)),
+        dirichlet_values=jp(dirichlet_np),
+        f_neumann=jp(f_neumann), f_well=jp(f_well),
+        diag_mass=jnp.zeros(p_space.n_nodes, dtype),      # filled below
+        diag_laplace=jnp.zeros(p_space.n_nodes, dtype),
+        diag_elasticity=jnp.ones(u_space.n_nodes * dim, dtype),
+        lam=lam, mu=mu,
+    )
+
+    diag_mass = ops.mass_diagonal(d.conn_p, d.psi_p_at_pq, d.jxw_p, d.n_pdofs)
+    diag_lap = ops.laplace_diagonal(d.conn_p, d.dref_p_at_pq, d.jinv_p,
+                                    d.jxw_p, d.n_pdofs)
+    diag_el = ops.elasticity_diagonal(d.conn_u, d.dref_u_at_uq, d.jinv_u,
+                                      d.jxw_u, lam, mu, d.n_udofs)
+    diag_el = jnp.where(d.free_mask_u > 0, diag_el, jnp.ones((), dtype))
+    d = dataclasses.replace(d, diag_mass=diag_mass, diag_laplace=diag_lap,
+                            diag_elasticity=diag_el)
+    return d

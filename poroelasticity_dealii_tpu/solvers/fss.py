@@ -1,0 +1,262 @@
+"""Fixed-stress-split coupled Biot solver — the framework's flagship driver.
+
+TPU-native re-design of the reference's ``PoroElasticProblem::run()``
+(``PoroelasticityFSS.h:295-415``): the entire time step — pressure inner
+iterations, both CG solves, the strain projection and the convergence checks
+— is ONE jit-compiled function of device arrays, with the FSS outer loop and
+the pressure inner loop as nested ``lax.while_loop``s.  The host only steps
+time, logs, and writes output.
+
+Semantics replicated exactly (SURVEY §2.1 quirks, deliberate):
+
+* The volumetric strain evolves ONLY through the fixed-stress predictor
+  ``eps_v += (b/K) * delta_p`` (``PoroElasticPressureSolver.h:187-194``); it
+  is never resynchronized from the displacement solution during FSS
+  (``PoroelasticityFSS.h:399`` is commented out in the reference).
+* ``initial_volumetric_strain`` is the t=0 projection, fixed for all time
+  (``PoroelasticityFSS.h:316-317``).
+* The pressure inner loop warm-starts each CG from the previous update and
+  resets the update to zero once per FSS iteration
+  (``PoroelasticityFSS.h:356-384``).
+* Normal-strain components are re-projected every FSS iteration, shear
+  components once per time step after convergence (``:398, :409``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import InputData
+from ..ops.operators import SHEAR_ENTRIES, VOIGT_PAIRS, VOLUMETRIC_ENTRIES
+from .cg import cg_solve, cg_solve_batched
+from .discretization import Discretization
+
+CG_MAX_ITER = 1000          # SolverControl(1000, ...) everywhere
+DISP_CG_ABS_TOL = 1e-12     # PoroElasticDisplacementSolver.h:298
+PRESSURE_CG_REL_TOL = 1e-8  # PoroElasticPressureSolver.h:175
+PROJECTION_CG_REL_TOL = 1e-8  # StrainProjector.h:209
+
+
+class StepStats(NamedTuple):
+    """Per-time-step convergence record (the observability the reference
+    only ever printed to stdout; SURVEY §5 metrics row)."""
+    fss_iterations: jnp.ndarray        # int32
+    pressure_error: jnp.ndarray        # final FSS residual norm
+    pressure_iterations: jnp.ndarray   # total inner pressure solves
+    pressure_cg_iterations: jnp.ndarray
+    mech_cg_iterations: jnp.ndarray
+    projection_cg_iterations: jnp.ndarray
+    fss_error_history: jnp.ndarray     # (max_fss,) padded with -1
+
+
+class State(NamedTuple):
+    """Minimal restart state (what the reference's SolutionTransfer carries
+    across mesh changes, PoroelasticityFSS.h:474-497, plus u and strains)."""
+    p: jnp.ndarray        # pressure (n_pdofs,)
+    u: jnp.ndarray        # displacement (n_udofs,)
+    eps_v: jnp.ndarray    # volumetric strain (n_pdofs,)
+    eps_v0: jnp.ndarray   # initial volumetric strain (n_pdofs,)
+    strains: jnp.ndarray  # (n_voigt, n_pdofs) projected strain components
+
+
+@dataclasses.dataclass(frozen=True, eq=False)  # eq=False: identity hash so
+class FixedStressSolver:                        # jit static_argnums=0 caches
+    """Owns the jitted step functions for one Discretization + InputData."""
+
+    disc: Discretization
+    data: InputData
+
+    # ---------------- pressure system pieces -------------------------------
+
+    def _pressure_residual(self, p, p_old, eps_v, eps_v0, dt):
+        """Negated Biot flow residual (PoroElasticPressureSolver.h:113-155):
+        -[ M ((b/dt)(eps_v - eps_v0) + (p - p_old)/(M_biot dt)) + (k/mu) L p
+           + F_well ]."""
+        d, data = self.disc, self.data
+        acc = (data.biot_coef / dt) * (eps_v - eps_v0) \
+            + (1.0 / data.m_modulus / dt) * (p - p_old)
+        res = d.mass(acc) + (data.perm / data.visc) * d.laplace(p) + d.f_well
+        return -res
+
+    def _pressure_jacobian_apply(self, x, dt):
+        d, data = self.disc, self.data
+        return (1.0 / data.m_modulus / dt) * d.mass(x) \
+            + (data.perm / data.visc) * d.laplace(x)
+
+    def _pressure_jacobian_diag(self, dt):
+        d, data = self.disc, self.data
+        return (1.0 / data.m_modulus / dt) * d.diag_mass \
+            + (data.perm / data.visc) * d.diag_laplace
+
+    # ---------------- mechanics solve ---------------------------------------
+
+    def _mechanics_solve(self, p, u_warm):
+        """Elasticity solve with pressure-coupling RHS + traction + Dirichlet
+        (PoroElasticDisplacementSolver.h:155-307).  Body force follows the
+        reference's effective default: zero (gravity quirk, SURVEY §2.1.2)."""
+        d, data = self.disc, self.data
+        rhs = d.coupling_rhs(p, data.biot_coef) + d.f_neumann
+        g = d.dirichlet_values
+        b_mod = d.free_mask_u * (rhs - d.elasticity(g)) \
+            + (1.0 - d.free_mask_u) * g
+        apply = d.elasticity_constrained
+        x0 = d.free_mask_u * u_warm + (1.0 - d.free_mask_u) * g
+        res = cg_solve(apply, b_mod, x0, d.diag_elasticity,
+                       tol=jnp.asarray(DISP_CG_ABS_TOL, d.dtype),
+                       max_iter=CG_MAX_ITER)
+        return res.x, res.iterations
+
+    # ---------------- strain projection -------------------------------------
+
+    def _project(self, u, entries, warm):
+        """L2-project selected Voigt strain components onto pressure space:
+        one batched multi-RHS mass-matrix CG (StrainProjector.h:109-232)."""
+        d = self.disc
+        rhs_all = d.strain_projection_rhs(u)          # (n_voigt, n_pdofs)
+        rhs = rhs_all[jnp.asarray(entries)]
+        tol = PROJECTION_CG_REL_TOL * jnp.linalg.norm(rhs, axis=1)
+        res = cg_solve_batched(d.mass, rhs, warm, d.diag_mass, tol,
+                               CG_MAX_ITER)
+        return res.x, jnp.sum(res.iterations).astype(jnp.int32)
+
+    # ---------------- initialization (PoroelasticityFSS.h:311-317) ----------
+
+    def initial_state(self) -> State:
+        d, data = self.disc, self.data
+        dim = d.dim
+        n_voigt = len(VOIGT_PAIRS[dim])
+        p = jnp.full((d.n_pdofs,), data.p_init, d.dtype)
+        u0 = jnp.zeros((d.n_udofs,), d.dtype)
+        u, _ = self._mechanics_solve(p, u0)
+        vol = VOLUMETRIC_ENTRIES[dim]
+        warm = jnp.zeros((len(vol), d.n_pdofs), d.dtype)
+        vol_strains, _ = self._project(u, vol, warm)
+        strains = jnp.zeros((n_voigt, d.n_pdofs), d.dtype)
+        strains = strains.at[jnp.asarray(vol)].set(vol_strains)
+        eps_v = jnp.sum(vol_strains, axis=0)
+        return State(p=p, u=u, eps_v=eps_v, eps_v0=eps_v, strains=strains)
+
+    # ---------------- one full time step (jitted) ---------------------------
+
+    @partial(jax.jit, static_argnums=0)
+    def time_step(self, state: State, dt):
+        """One Δt: FSS outer loop over (pressure inner loop, mechanics solve,
+        normal-strain projection), then shear strains — all on-chip."""
+        d, data = self.disc, self.data
+        dim = d.dim
+        vol = VOLUMETRIC_ENTRIES[dim]
+        shear = SHEAR_ENTRIES[dim]
+        p_old = state.p
+        eps_v0 = state.eps_v0
+        max_fss = data.max_fss_iterations
+        max_press = data.max_pressure_iterations
+
+        def pressure_inner(p, eps_v, delta_p):
+            """Inner 'Newton' loop (PoroelasticityFSS.h:358-384):
+            stationary iteration on the fixed-stress-stabilized linear flow
+            system; the predictor eps_v += (b/K) dp applies BEFORE each
+            residual (PoroElasticPressureSolver.h:187-194)."""
+            jac_diag = self._pressure_jacobian_diag(dt)
+
+            r0 = self._pressure_residual(p, p_old, eps_v, eps_v0, dt)
+            err0 = jnp.linalg.norm(r0)
+
+            def cond(c):
+                k, _, _, _, _, err, _ = c
+                return (k < max_press) & (err > data.pressure_tol)
+
+            def body(c):
+                k, p, eps_v, delta_p, r, err, cg_tot = c
+                res = cg_solve(lambda x: self._pressure_jacobian_apply(x, dt),
+                               r, delta_p, jac_diag,
+                               tol=PRESSURE_CG_REL_TOL * jnp.linalg.norm(r),
+                               max_iter=CG_MAX_ITER)
+                delta_p = res.x
+                p = p + delta_p
+                eps_v = eps_v + (data.biot_coef / data.bulk_modulus) * delta_p
+                r = self._pressure_residual(p, p_old, eps_v, eps_v0, dt)
+                return (k + 1, p, eps_v, delta_p, r, jnp.linalg.norm(r),
+                        cg_tot + res.iterations)
+
+            init = (jnp.int32(0), p, eps_v, delta_p, r0, err0, jnp.int32(0))
+            k, p, eps_v, delta_p, r, err, cg_tot = jax.lax.while_loop(
+                cond, body, init)
+            return p, eps_v, delta_p, err, k, cg_tot
+
+        n_vol = len(vol)
+
+        def fss_cond(c):
+            it = c["fss_iter"]
+            return (it < max_fss) & (c["err"] > data.fss_tol)
+
+        def fss_body(c):
+            delta_p = jnp.zeros_like(c["p"])  # reset per FSS iteration (:356)
+            p, eps_v, delta_p, err_p, n_press, cg_p = pressure_inner(
+                c["p"], c["eps_v"], delta_p)
+            u, cg_u = self._mechanics_solve(p, c["u"])
+            vol_strains, cg_proj = self._project(u, vol, c["vol_strains"])
+            r = self._pressure_residual(p, p_old, eps_v, eps_v0, dt)
+            err = jnp.linalg.norm(r)
+            it = c["fss_iter"]
+            return dict(
+                p=p, u=u, eps_v=eps_v, vol_strains=vol_strains,
+                err=err, fss_iter=it + 1,
+                press_total=c["press_total"] + n_press,
+                cg_p=c["cg_p"] + cg_p, cg_u=c["cg_u"] + cg_u,
+                cg_proj=c["cg_proj"] + cg_proj,
+                err_hist=c["err_hist"].at[it].set(err),
+            )
+
+        carry = dict(
+            p=state.p, u=state.u, eps_v=state.eps_v,
+            vol_strains=state.strains[jnp.asarray(vol)],
+            err=jnp.asarray(2.0 * data.pressure_tol, d.dtype),  # :345
+            fss_iter=jnp.int32(0),
+            press_total=jnp.int32(0), cg_p=jnp.int32(0), cg_u=jnp.int32(0),
+            cg_proj=jnp.int32(0),
+            err_hist=jnp.full((max_fss,), -1.0, d.dtype),
+        )
+        c = jax.lax.while_loop(fss_cond, fss_body, carry)
+
+        # shear strains once per step after FSS convergence (:409)
+        strains = state.strains.at[jnp.asarray(vol)].set(c["vol_strains"])
+        cg_proj = c["cg_proj"]
+        if shear:
+            shear_strains, cg_sh = self._project(
+                c["u"], shear, state.strains[jnp.asarray(shear)])
+            strains = strains.at[jnp.asarray(shear)].set(shear_strains)
+            cg_proj = cg_proj + cg_sh
+
+        new_state = State(p=c["p"], u=c["u"], eps_v=c["eps_v"],
+                          eps_v0=eps_v0, strains=strains)
+        stats = StepStats(
+            fss_iterations=c["fss_iter"], pressure_error=c["err"],
+            pressure_iterations=c["press_total"],
+            pressure_cg_iterations=c["cg_p"], mech_cg_iterations=c["cg_u"],
+            projection_cg_iterations=cg_proj,
+            fss_error_history=c["err_hist"])
+        return new_state, stats
+
+    # ---------------- nodal effective stresses ------------------------------
+
+    def effective_stresses(self, strains):
+        """sigma = C : eps nodally (PoroelasticityFSS.h:190-224), exploiting
+        isotropy: sigma_ij = lam tr(eps) delta_ij + 2 mu eps_ij."""
+        d = self.disc
+        dim = d.dim
+        pairs = VOIGT_PAIRS[dim]
+        tr = sum(strains[e] for e in VOLUMETRIC_ENTRIES[dim])
+        rows = []
+        for e, (i, j) in enumerate(pairs):
+            s = 2.0 * d.mu * strains[e]
+            if i == j:
+                s = s + d.lam * tr
+            rows.append(s)
+        return jnp.stack(rows, axis=0)

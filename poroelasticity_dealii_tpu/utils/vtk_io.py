@@ -1,0 +1,121 @@
+"""Legacy-VTK unstructured-grid writer.
+
+Produces one ``solution-NNNN.vtk`` per time step with the same point-data
+layout the reference emits through deal.II ``DataOut``
+(``PoroelasticityFSS.h:228-291``): vector ``u``, scalar ``p``, all unique
+strain components ``eps_*`` and stress components ``sigma_*``.
+
+Deliberate fix: the reference writes ``sigma_yy`` from ``stresses[0]``
+(= sigma_xx) in 2D (``PoroelasticityFSS.h:257-258``, SURVEY §2.1.1); here
+``sigma_yy`` is the actual yy component.
+
+Data lives on the Q1 pressure nodes (= mesh vertices for degree 1), cells
+are the mesh cells — equivalent to the reference's degree-1
+``build_patches`` output.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..mesh.core import FESpace
+from ..ops.operators import VOIGT_PAIRS
+
+_VTK_CELL_TYPE = {2: 9, 3: 12}       # VTK_QUAD, VTK_HEXAHEDRON
+# lexicographic corners -> VTK node order
+_LEX_TO_VTK = {2: [0, 1, 3, 2], 3: [0, 1, 3, 2, 4, 5, 7, 6]}
+
+_COMP_NAMES = {
+    2: ["xx", "xy", "yy"],
+    3: ["xx", "xy", "xz", "yy", "yz", "zz"],
+}
+
+
+def write_vtk(path: str, pressure_space: FESpace, u_at_pnodes: np.ndarray,
+              p: np.ndarray, strains: np.ndarray, stresses: np.ndarray):
+    """Write one legacy-ASCII VTK file.
+
+    Args:
+      pressure_space: Q1 space whose nodes carry the point data.
+      u_at_pnodes: ``(n_nodes, dim)`` displacement sampled at those nodes.
+      p: ``(n_nodes,)`` pressure.
+      strains/stresses: ``(n_voigt, n_nodes)`` unique symmetric components.
+    """
+    mesh = pressure_space.mesh
+    dim = mesh.dim
+    coords = pressure_space.node_coords
+    n_pts = coords.shape[0]
+    # pad coordinates and vectors to 3D as VTK requires
+    xyz = np.zeros((n_pts, 3))
+    xyz[:, :dim] = coords
+    u3 = np.zeros((n_pts, 3))
+    u3[:, :dim] = u_at_pnodes
+
+    conn = pressure_space.cell_nodes[:, _corner_locals(pressure_space)]
+    conn = conn[:, _LEX_TO_VTK[dim]]
+    n_cells, n_per = conn.shape
+
+    lines = ["# vtk DataFile Version 3.0",
+             "poroelasticity_dealii_tpu output", "ASCII",
+             "DATASET UNSTRUCTURED_GRID",
+             f"POINTS {n_pts} double"]
+    lines += [" ".join(f"{v:.16g}" for v in row) for row in xyz]
+    lines.append(f"CELLS {n_cells} {n_cells * (n_per + 1)}")
+    lines += [f"{n_per} " + " ".join(map(str, row)) for row in conn]
+    lines.append(f"CELL_TYPES {n_cells}")
+    lines += [str(_VTK_CELL_TYPE[dim])] * n_cells
+
+    lines.append(f"POINT_DATA {n_pts}")
+    lines.append("VECTORS u double")
+    lines += [" ".join(f"{v:.16g}" for v in row) for row in u3]
+
+    def scalar(name, arr):
+        lines.append(f"SCALARS {name} double 1")
+        lines.append("LOOKUP_TABLE default")
+        lines.extend(f"{v:.16g}" for v in np.asarray(arr))
+
+    scalar("p", p)
+    names = _COMP_NAMES[dim]
+    for c in range(len(VOIGT_PAIRS[dim])):
+        scalar(f"eps_{names[c]}", strains[c])
+    for c in range(len(VOIGT_PAIRS[dim])):
+        scalar(f"sigma_{names[c]}", stresses[c])
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def _corner_locals(space: FESpace):
+    """Local node indices of the cell corners in a Q_k space (lattice
+    extremes), lexicographic corner order."""
+    from ..ops.shape import node_lattice
+    k = space.degree
+    lat = node_lattice(k, space.mesh.dim)
+    corners = []
+    for corner in range(2 ** space.mesh.dim):
+        target = [(k if (corner >> d) & 1 else 0)
+                  for d in range(space.mesh.dim)]
+        idx = np.nonzero((lat == target).all(axis=1))[0][0]
+        corners.append(int(idx))
+    return np.asarray(corners)
+
+
+def displacement_at_pressure_nodes(pressure_space: FESpace,
+                                   displacement_space: FESpace,
+                                   u: np.ndarray) -> np.ndarray:
+    """Sample the (vector, interleaved) displacement at pressure nodes.
+
+    For Q2 displacement / Q1 pressure on the same mesh, every pressure node
+    is geometrically a displacement node; match them by coordinates.
+    """
+    dim = pressure_space.mesh.dim
+    u = np.asarray(u).reshape(-1, dim)
+    # round-keyed coordinate lookup
+    scale = max(1.0, np.abs(displacement_space.node_coords).max())
+    key = lambda c: tuple(np.round(c / scale, 12))  # noqa: E731
+    lookup = {key(c): i for i, c in enumerate(displacement_space.node_coords)}
+    idx = np.array([lookup[key(c)] for c in pressure_space.node_coords])
+    return u[idx]
