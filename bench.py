@@ -1,0 +1,120 @@
+"""Benchmark: wall-clock per fixed-stress time step at ~1M DOF (3D).
+
+The BASELINE.json headline metric ("Wall-clock per timestep at 1M DOF").
+Problem: 3D consolidation cube, Q2 displacement / Q1 pressure, 34^3 cells ->
+985,527 displacement DOFs + 42,875 pressure DOFs (~1.03M total), float32 on
+the available accelerator with correspondingly relaxed CG tolerances.
+
+The reference publishes no numbers (README is 3 lines; its build is Debug —
+see BASELINE.md), so ``vs_baseline`` is the measured speedup against the
+recorded CPU wall-clock for the *identical* problem and solver
+(BENCH_BASELINE.json, measured once with `python bench.py --cpu-baseline`) —
+a deliberately strong stand-in for "deal.II + CPU" (multithreaded XLA CPU vs
+the reference's serial Debug build).  North-star: vs_baseline >= 2.
+
+Prints exactly ONE JSON line to stdout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(HERE, "BENCH_BASELINE.json")
+
+CELLS_PER_AXIS = 34          # -> 1,028,402 total DOFs
+N_MEASURED_STEPS = 5
+
+
+def build(platform=None, cells=CELLS_PER_AXIS):
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    from poroelasticity_dealii_tpu.config import read_input_file
+    from poroelasticity_dealii_tpu.mesh import hyper_rectangle
+    from poroelasticity_dealii_tpu.solvers import (FixedStressSolver,
+                                                   build_discretization)
+    data = read_input_file(os.path.join(HERE, "configs/consolidation_3d.data"))
+    data = dataclasses.replace(
+        data, dtype="float32",
+        fss_tol=1e-3, pressure_tol=1e-3,          # f32-appropriate absolutes
+        mech_cg_tol=1e-5, mech_cg_relative=True,
+        pressure_cg_tol=1e-5, projection_cg_tol=1e-5)
+    t0 = time.perf_counter()
+    mesh = hyper_rectangle(data.domain_size, cells_per_axis=cells)
+    disc = build_discretization(mesh, data)
+    solver = FixedStressSolver(disc, data)
+    setup_s = time.perf_counter() - t0
+    n_dofs = disc.n_pdofs + disc.n_udofs
+    print(f"# setup: {setup_s:.1f}s, cells={disc.n_cells}, dofs={n_dofs}",
+          file=sys.stderr)
+    return data, disc, solver, n_dofs
+
+
+def measure(data, solver, n_steps=N_MEASURED_STEPS):
+    t0 = time.perf_counter()
+    state = solver.initial_state()
+    state.p.block_until_ready()
+    print(f"# initial_state (incl. compile): "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    state, stats = solver.time_step(state, data.time_step)  # compile + run
+    state.p.block_until_ready()
+    print(f"# first step (incl. compile): {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    times = []
+    for i in range(n_steps):
+        t0 = time.perf_counter()
+        state, stats = solver.time_step(state, data.time_step)
+        state.p.block_until_ready()
+        times.append(time.perf_counter() - t0)
+        print(f"# step {i + 2}: {times[-1]*1e3:.1f} ms  "
+              f"fss={int(stats.fss_iterations)} "
+              f"press={int(stats.pressure_iterations)} "
+              f"cg(p/u/proj)={int(stats.pressure_cg_iterations)}/"
+              f"{int(stats.mech_cg_iterations)}/"
+              f"{int(stats.projection_cg_iterations)} "
+              f"err={float(stats.pressure_error):.2e}", file=sys.stderr)
+    import numpy as np
+    assert np.isfinite(float(stats.pressure_error))
+    return sum(times) / len(times)
+
+
+def main():
+    if "--cpu-baseline" in sys.argv:
+        data, disc, solver, n_dofs = build(platform="cpu")
+        ms = measure(data, solver, n_steps=2) * 1e3
+        rec = {"cpu_ms_per_step": ms, "n_dofs": n_dofs,
+               "cells_per_axis": CELLS_PER_AXIS,
+               "note": "XLA:CPU, same problem/solver/tolerances as the TPU "
+                       "bench; stand-in for the reference's serial CPU path"}
+        with open(BASELINE_FILE, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(json.dumps(rec))
+        return
+
+    data, disc, solver, n_dofs = build()
+    ms = measure(data, solver) * 1e3
+
+    vs_baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as fh:
+            base = json.load(fh)
+        if base.get("n_dofs") == n_dofs:
+            vs_baseline = base["cpu_ms_per_step"] / ms
+    print(json.dumps({
+        "metric": "wall_clock_per_fss_timestep_1M_dof_3d",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

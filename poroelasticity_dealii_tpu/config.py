@@ -144,6 +144,11 @@ _SCHEMA = {
     ("In situ", "Displacement boundary labels"): ("0, 2, 3, 1", _int_list),
     ("In situ", "Displacement boundary components"): ("1, 1, 0, 0", _int_list),
     ("In situ", "Displacement boundary values"): ("0, 0, 0, -0.1", _dbl_list),
+    # Dirichlet pressure (drainage) boundaries — a capability the reference
+    # lacks (PoroElasticPressureSolver.h:72 "no dirichlet pressure BC's")
+    # but which the Terzaghi/Mandel verification configs require.
+    ("In situ", "Pressure boundary labels"): ("", _int_list),
+    ("In situ", "Pressure boundary values"): ("", _dbl_list),
     # Solver section (InputDataPoroel.h:134-145)
     ("Solver", "Time step"): ("60", _dbl(1e-8)),
     ("Solver", "Time max"): ("60", _dbl(1e-8)),
@@ -159,6 +164,22 @@ _SCHEMA = {
     ("TPU", "Checkpoint directory"): ("./checkpoints", _str()),
     ("TPU", "Refine every"): ("5", _int(0)),  # reference: every 5th step
     ("TPU", "AMR"): ("false", _str({"true", "false"})),
+    # linear-solver tolerances (defaults = the reference's hardcoded values:
+    # PoroElasticDisplacementSolver.h:298 abs 1e-12;
+    # PoroElasticPressureSolver.h:175 / StrainProjector.h:209 rel 1e-8)
+    ("TPU", "Mechanics CG tolerance"): ("1e-12", _dbl(0)),
+    ("TPU", "Mechanics CG relative"): ("false", _str({"true", "false"})),
+    ("TPU", "Pressure CG tolerance"): ("1e-8", _dbl(0)),
+    ("TPU", "Projection CG tolerance"): ("1e-8", _dbl(0)),
+    ("TPU", "CG max iterations"): ("1000", _int(1)),
+    # Physics-correctness switch.  false (default) = reference-faithful:
+    # eps_v evolves only through the fixed-stress predictor and the
+    # accumulation term compares against the t=0 strain
+    # (PoroelasticityFSS.h:399 commented out + :317 one-time init — SURVEY
+    # §2.1.4).  true = textbook fixed-stress Biot: eps_v resynced from the
+    # projected mechanical strain each coupling iteration and the
+    # accumulation term uses the step-start strain.
+    ("TPU", "Volumetric strain resync"): ("false", _str({"true", "false"})),
 }
 
 
@@ -198,6 +219,8 @@ class InputData:
     displacement_boundary_labels: Tuple[int, ...]
     displacement_boundary_components: Tuple[int, ...]
     displacement_boundary_values: Tuple[float, ...]
+    pressure_boundary_labels: Tuple[int, ...] = ()
+    pressure_boundary_values: Tuple[float, ...] = ()
     # TPU-native extras
     dtype: str = "float64"
     output_directory: str = "./solution"
@@ -206,6 +229,12 @@ class InputData:
     checkpoint_directory: str = "./checkpoints"
     refine_every: int = 5
     amr: bool = False
+    mech_cg_tol: float = 1e-12
+    mech_cg_relative: bool = False
+    pressure_cg_tol: float = 1e-8
+    projection_cg_tol: float = 1e-8
+    cg_max_iterations: int = 1000
+    resync_volumetric_strain: bool = False
 
     # ---- derived poroelastic moduli (InputDataPoroel.h:213-222) ----
     @property
@@ -279,6 +308,8 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
         displacement_boundary_labels=tuple(vals[("In situ", "Displacement boundary labels")]),
         displacement_boundary_components=tuple(vals[("In situ", "Displacement boundary components")]),
         displacement_boundary_values=tuple(vals[("In situ", "Displacement boundary values")]),
+        pressure_boundary_labels=tuple(vals[("In situ", "Pressure boundary labels")]),
+        pressure_boundary_values=tuple(vals[("In situ", "Pressure boundary values")]),
         dtype=vals[("TPU", "Dtype")],
         output_directory=vals[("TPU", "Output directory")],
         output_vtk=vals[("TPU", "Output VTK")] == "true",
@@ -286,6 +317,13 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
         checkpoint_directory=vals[("TPU", "Checkpoint directory")],
         refine_every=vals[("TPU", "Refine every")],
         amr=vals[("TPU", "AMR")] == "true",
+        mech_cg_tol=vals[("TPU", "Mechanics CG tolerance")],
+        mech_cg_relative=vals[("TPU", "Mechanics CG relative")] == "true",
+        pressure_cg_tol=vals[("TPU", "Pressure CG tolerance")],
+        projection_cg_tol=vals[("TPU", "Projection CG tolerance")],
+        cg_max_iterations=vals[("TPU", "CG max iterations")],
+        resync_volumetric_strain=(
+            vals[("TPU", "Volumetric strain resync")] == "true"),
     )
 
     nbc = len(data.displacement_boundary_labels)
@@ -298,6 +336,8 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
     if (len(data.stress_boundary_components) != nbc
             or len(data.stress_boundary_values) != nbc):
         raise ValueError("Stress boundary lists have mismatched lengths")
+    if len(data.pressure_boundary_labels) != len(data.pressure_boundary_values):
+        raise ValueError("Pressure boundary lists have mismatched lengths")
     return data
 
 

@@ -15,12 +15,16 @@ import numpy as np
 from .core import Mesh
 
 
-def hyper_rectangle(domain_size, refinement_level: int,
-                    lower=None, upper=None) -> Mesh:
-    """Structured quad/hex mesh with 2**refinement_level cells per axis."""
+def hyper_rectangle(domain_size, refinement_level: int = None,
+                    lower=None, upper=None, cells_per_axis: int = None) -> Mesh:
+    """Structured quad/hex mesh, 2**refinement_level (or cells_per_axis)
+    cells per axis."""
     domain_size = np.asarray(domain_size, dtype=np.float64)
     dim = len(domain_size)
-    n = 2 ** refinement_level  # cells per axis
+    if cells_per_axis is not None:
+        n = int(cells_per_axis)
+    else:
+        n = 2 ** refinement_level  # cells per axis
     if lower is None:
         lower = -domain_size / 2.0
     if upper is None:

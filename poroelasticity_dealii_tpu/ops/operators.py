@@ -5,13 +5,20 @@ Replaces the reference's global ``SparseMatrix`` SpMVs and cell-loop assembly
 ``PoroElasticDisplacementSolver.h:155-291``, ``StrainProjector.h:109-198``)
 with sum-factorized on-the-fly quadrature:
 
-    gather dofs  ->  shared-table contraction (MXU matmul)  ->  pointwise
-    geometric factors (VPU)  ->  transpose contraction (MXU)  ->
+    gather dofs -> shared-table contraction (MXU matmul) -> pointwise
+    geometric factors (VPU) -> transpose contraction (MXU) ->
     deterministic segment-sum scatter.
 
-Per apply this reads only O(E·Q·dim²) Jacobian factors from HBM instead of
-O(E·ndof²) stored element matrices — ~25x less HBM traffic for Q2/3D — which
-is what makes CG iterations bandwidth-cheap on TPU.
+TPU layout decision (load-bearing): all per-cell arrays are **cells-last**
+("structure of arrays"): connectivity ``(n_local, E)``, Jacobian factors
+``(Q, dim, dim, E)``, weights ``(Q, E)``.  The cell index lives in the
+128-wide lane dimension, so every elementwise op runs at full VPU width and
+the two big shared-table contractions lower to clean MXU matmuls
+``(Q*dim, N) @ (N, comp*E)``.  A cells-first layout leaves trailing dims of
+3/9 that waste ~97% of each vector register — measured 20x slower.
+
+Per apply this reads only O(E*Q*dim^2) Jacobian factors from HBM instead of
+O(E*ndof^2) stored element matrices — ~25x less HBM traffic for Q2/3D.
 
 All functions are pure and jit-safe; dtype follows the inputs.
 """
@@ -35,25 +42,26 @@ SHEAR_ENTRIES = {1: [], 2: [1], 3: [1, 2, 4]}
 
 
 def scatter_add(values, conn, n_dofs):
-    """Deterministic global assembly: sum per-cell values into dof vector.
+    """Deterministic global assembly: sum per-cell values into a dof vector.
 
-    ``values``/``conn`` may have any matching leading shape; equivalent to the
-    reference's ``constraints.distribute_local_to_global`` vector path.
+    ``values`` and ``conn`` must have identical shapes (any rank); this is
+    the vector path of the reference's
+    ``constraints.distribute_local_to_global``.
     """
     return jax.ops.segment_sum(values.reshape(-1), conn.reshape(-1),
                                num_segments=n_dofs)
 
 
 # --------------------------------------------------------------------------
-# scalar (pressure) operators
+# scalar (pressure) operators — conn (N, E), jinv (Q, m, d, E), jxw (Q, E)
 # --------------------------------------------------------------------------
 
 def apply_mass(p, conn, psi, jxw):
     """y = M p with M_ij = ∫ psi_i psi_j dx (MatrixCreator::create_mass_matrix,
     PoroElasticPressureSolver.h:96-98)."""
-    pe = p[conn]                                    # (E, N)
-    v = jnp.einsum("qn,en->eq", psi, pe)            # values at q-points
-    ye = jnp.einsum("qn,eq->en", psi, jxw * v)
+    pe = p[conn]                                    # (N, E)
+    v = jnp.einsum("qn,nE->qE", psi, pe)            # values at q-points
+    ye = jnp.einsum("qn,qE->nE", psi, jxw * v)
     return scatter_add(ye, conn, p.shape[0])
 
 
@@ -61,15 +69,15 @@ def apply_laplace(p, conn, dref, jinv, jxw):
     """y = L p with L_ij = ∫ grad psi_i . grad psi_j dx
     (MatrixCreator::create_laplace_matrix, PoroElasticPressureSolver.h:99-101)."""
     pe = p[conn]
-    r = jnp.einsum("qnm,en->eqm", dref, pe)         # ref gradients
-    g = jnp.einsum("eqm,eqmd->eqd", r, jinv)        # physical gradients
-    t = jnp.einsum("eqd,eqmd->eqm", g * jxw[..., None], jinv)
-    ye = jnp.einsum("qnm,eqm->en", dref, t)
+    r = jnp.einsum("qnm,nE->qmE", dref, pe)         # ref gradients
+    g = jnp.einsum("qmE,qmdE->qdE", r, jinv)        # physical gradients
+    t = jnp.einsum("qdE,qmdE->qmE", g * jxw[:, None, :], jinv)
+    ye = jnp.einsum("qnm,qmE->nE", dref, t)
     return scatter_add(ye, conn, p.shape[0])
 
 
 # --------------------------------------------------------------------------
-# vector (displacement) elasticity operator
+# vector (displacement) elasticity — conn_u (N*dim, E), interleaved comps
 # --------------------------------------------------------------------------
 
 def apply_elasticity(u, conn_u, dref, jinv, jxw, lam, mu):
@@ -83,18 +91,19 @@ def apply_elasticity(u, conn_u, dref, jinv, jxw, lam, mu):
     materializing the rank-4 tensor.
     """
     n_dofs = u.shape[0]
-    E, N = conn_u.shape[0], dref.shape[1]
-    dim = dref.shape[2]
-    ue = u[conn_u].reshape(E, N, dim)               # interleaved (node, comp)
-    r = jnp.einsum("qnm,eni->eqim", dref, ue)       # shared-matrix MXU matmul
-    h = jnp.einsum("eqim,eqmj->eqij", r, jinv)      # grad u (E,Q,dim,dim)
-    tr = jnp.trace(h, axis1=-2, axis2=-1)
-    sig = mu * (h + jnp.swapaxes(h, -1, -2))
-    sig = sig + (lam * tr)[..., None, None] * jnp.eye(dim, dtype=u.dtype)
-    s = sig * jxw[..., None, None]
-    t = jnp.einsum("eqij,eqmj->eqim", s, jinv)
-    ye = jnp.einsum("qnm,eqim->eni", dref, t)       # shared-matrix MXU matmul
-    return scatter_add(ye.reshape(E, N * dim), conn_u, n_dofs)
+    Q, N, dim = dref.shape
+    E = conn_u.shape[-1]
+    ue = u[conn_u].reshape(N, dim, E)               # local (node, comp, cell)
+    r = jnp.einsum("qnm,niE->qmiE", dref, ue)       # MXU: (Q*m, N)@(N, i*E)
+    h = jnp.einsum("qmiE,qmjE->qijE", r, jinv)      # grad u, lanes = cells
+    tr = h[:, 0, 0] + h[:, 1, 1] + (h[:, 2, 2] if dim == 3 else 0.0)
+    sig = mu * (h + jnp.swapaxes(h, 1, 2))
+    eye = jnp.eye(dim, dtype=u.dtype)[None, :, :, None]
+    sig = sig + (lam * tr)[:, None, None, :] * eye
+    s = sig * jxw[:, None, None, :]
+    t = jnp.einsum("qijE,qmjE->qmiE", s, jinv)
+    ye = jnp.einsum("qnm,qmiE->niE", dref, t)       # MXU: (N, Q*m)@(Q*m, i*E)
+    return scatter_add(ye.reshape(N * dim, E), conn_u, n_dofs)
 
 
 def coupling_rhs(p, conn_p, conn_u, psi_p_at_uq, dref_u, jinv_u, jxw_u,
@@ -102,14 +111,14 @@ def coupling_rhs(p, conn_p, conn_u, psi_p_at_uq, dref_u, jinv_u, jxw_u,
     """f[(n,i)] = ∫ b p tr(eps(phi_ni)) dx = ∫ b p d phi_n/d x_i dx —
     the pore-pressure coupling RHS (PoroElasticDisplacementSolver.h:227-234).
     """
-    E, N = conn_u.shape[0], dref_u.shape[1]
-    dim = dref_u.shape[2]
-    pe = p[conn_p]
-    pv = jnp.einsum("qj,ej->eq", psi_p_at_uq, pe)   # pressure at disp q-pts
-    w = biot_coef * jxw_u * pv                      # (E, Q)
-    t = w[..., None, None] * jinv_u                 # (E,Q,m,c)
-    ye = jnp.einsum("qnm,eqmc->enc", dref_u, t)
-    return scatter_add(ye.reshape(E, N * dim), conn_u, n_udofs)
+    Q, N, dim = dref_u.shape
+    E = conn_u.shape[-1]
+    pe = p[conn_p]                                  # (Np, E)
+    pv = jnp.einsum("qj,jE->qE", psi_p_at_uq, pe)   # pressure at disp q-pts
+    w = biot_coef * jxw_u * pv                      # (Q, E)
+    t = w[:, None, None, :] * jinv_u                # (Q, m, c, E)
+    ye = jnp.einsum("qnm,qmcE->ncE", dref_u, t)
+    return scatter_add(ye.reshape(N * dim, E), conn_u, n_udofs)
 
 
 # --------------------------------------------------------------------------
@@ -119,23 +128,21 @@ def coupling_rhs(p, conn_p, conn_u, psi_p_at_uq, dref_u, jinv_u, jxw_u,
 def strain_projection_rhs(u, conn_u, conn_p, psi_p, dref_u_at_pq, jinv_p,
                           jxw_p, n_pdofs):
     """RHS of the L2 projection of all unique strain components onto the
-    pressure space: rhs[c][i] = ∫ psi_i eps_c(u) dx, assembled for every
-    Voigt component in one sweep (the reference assembles all requested
-    components per cell sweep too, StrainProjector.h:159-196).
-
-    Returns ``(n_voigt, n_pdofs)``.
+    pressure space: rhs[c][i] = ∫ psi_i eps_c(u) dx, every Voigt component
+    in one sweep (the reference also assembles all requested components per
+    cell sweep, StrainProjector.h:159-196).  Returns ``(n_voigt, n_pdofs)``.
     """
-    E, Nu = conn_u.shape[0], dref_u_at_pq.shape[1]
-    dim = dref_u_at_pq.shape[2]
+    Q, N, dim = dref_u_at_pq.shape
+    E = conn_u.shape[-1]
     pairs = VOIGT_PAIRS[dim]
-    ue = u[conn_u].reshape(E, Nu, dim)
-    r = jnp.einsum("qnm,eni->eqim", dref_u_at_pq, ue)
-    h = jnp.einsum("eqim,eqmj->eqij", r, jinv_p)    # grad u at pressure q-pts
-    eps = 0.5 * (h + jnp.swapaxes(h, -1, -2))
-    comps = jnp.stack([eps[..., a, b] for (a, b) in pairs], axis=-1)  # (E,Q,C)
-    ye = jnp.einsum("qi,eqc->eic", psi_p, comps * jxw_p[..., None])
+    ue = u[conn_u].reshape(N, dim, E)
+    r = jnp.einsum("qnm,niE->qmiE", dref_u_at_pq, ue)
+    h = jnp.einsum("qmiE,qmjE->qijE", r, jinv_p)    # grad u at pressure q-pts
+    eps = 0.5 * (h + jnp.swapaxes(h, 1, 2))
+    comps = jnp.stack([eps[:, a, b] for (a, b) in pairs], axis=1)  # (Q,C,E)
+    ye = jnp.einsum("qi,qcE->icE", psi_p, comps * jxw_p[:, None, :])
     flat = jax.vmap(lambda y: scatter_add(y, conn_p, n_pdofs),
-                    in_axes=-1, out_axes=0)(ye)
+                    in_axes=1, out_axes=0)(ye)
     return flat
 
 
@@ -144,25 +151,25 @@ def strain_projection_rhs(u, conn_u, conn_p, psi_p, dref_u_at_pq, jinv_p,
 # --------------------------------------------------------------------------
 
 def mass_diagonal(conn, psi, jxw, n_dofs):
-    de = jnp.einsum("eq,qn->en", jxw, psi * psi)
+    de = jnp.einsum("qE,qn->nE", jxw, psi * psi)
     return scatter_add(de, conn, n_dofs)
 
 
 def laplace_diagonal(conn, dref, jinv, jxw, n_dofs):
-    g = jnp.einsum("qnm,eqmd->eqnd", dref, jinv)
-    de = jnp.einsum("eq,eqnd->en", jxw, g * g)
+    g = jnp.einsum("qnm,qmdE->qndE", dref, jinv)
+    de = jnp.einsum("qE,qndE->nE", jxw, g * g)
     return scatter_add(de, conn, n_dofs)
 
 
 def elasticity_diagonal(conn_u, dref, jinv, jxw, lam, mu, n_udofs):
     """diag K[(n,c)] = ∫ [lam G_nc² + mu (Σ_j G_nj² + G_nc²)] dx."""
-    g = jnp.einsum("qnm,eqmd->eqnd", dref, jinv)    # physical gradients
+    Q, N, dim = dref.shape
+    E = conn_u.shape[-1]
+    g = jnp.einsum("qnm,qmdE->qndE", dref, jinv)    # physical gradients
     g2 = g * g
-    sum_g2 = jnp.sum(g2, axis=-1, keepdims=True)
-    de = jnp.einsum("eq,eqnc->enc", jxw, (lam + mu) * g2 + mu * sum_g2)
-    E, N = conn_u.shape[0], dref.shape[1]
-    dim = dref.shape[2]
-    return scatter_add(de.reshape(E, N * dim), conn_u, n_udofs)
+    sum_g2 = jnp.sum(g2, axis=2, keepdims=True)
+    de = jnp.einsum("qE,qncE->ncE", jxw, (lam + mu) * g2 + mu * sum_g2)
+    return scatter_add(de.reshape(N * dim, E), conn_u, n_udofs)
 
 
 # --------------------------------------------------------------------------

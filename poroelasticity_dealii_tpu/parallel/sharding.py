@@ -1,0 +1,167 @@
+"""GSPMD domain decomposition: elements sharded over a device mesh.
+
+The reference is fully serial (SURVEY §2: no MPI/threads anywhere), so this
+subsystem is a design obligation from BASELINE.json, not a port: the
+TPU-native analogue of MPI-parallel FEM with ghosted vectors is
+
+* element arrays (connectivity, Jacobian factors) sharded over a 1D device
+  mesh axis ``"cells"`` — the domain decomposition;
+* DOF vectors replicated (a few MB even at 1M DOF — far below the per-chip
+  HBM the element arrays need);
+* each operator apply runs the unmodified single-chip element kernels from
+  :mod:`..ops.operators` on the local element shard inside ``jax.shard_map``,
+  then reduces interface (and interior) DOF contributions with one ``psum``
+  over ICI — the collective form of halo exchange + ghost-row accumulation.
+
+CG dot products act on replicated vectors, so no extra collectives appear in
+the solver loops: exactly one all-reduce per operator apply.
+
+Because :class:`ShardedDiscretization` exposes the same operator-closure API
+as :class:`~..solvers.discretization.Discretization`, the entire
+``FixedStressSolver`` works unchanged on N chips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops import operators as ops
+from ..solvers.discretization import Discretization
+
+CELL_AXIS = "cells"
+
+
+def make_device_mesh(n_devices: Optional[int] = None,
+                     devices: Optional[Sequence] = None) -> DeviceMesh:
+    """1D device mesh over the cell axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"requested {n_devices} devices, only {len(devices)} "
+                    "visible (set --xla_force_host_platform_device_count "
+                    "for CPU simulation)")
+            devices = devices[:n_devices]
+    return DeviceMesh(np.asarray(devices), (CELL_AXIS,))
+
+
+def _pad_cells(arr: jnp.ndarray, n_pad: int, pad_value=0):
+    """Pad the trailing (cell/lane) axis."""
+    if n_pad == 0:
+        return arr
+    pad_width = [(0, 0)] * (arr.ndim - 1) + [(0, n_pad)]
+    return jnp.pad(arr, pad_width, constant_values=pad_value)
+
+
+def _cell_spec(ndim: int) -> P:
+    """PartitionSpec sharding only the trailing cell axis."""
+    return P(*([None] * (ndim - 1) + [CELL_AXIS]))
+
+
+@dataclasses.dataclass
+class ShardedDiscretization(Discretization):
+    """Discretization whose element arrays live sharded on a device mesh.
+
+    Padded cells (to make n_cells divisible by the mesh size) carry
+    ``jxw == 0`` so they contribute exactly nothing to any integral.
+    """
+
+    device_mesh: DeviceMesh = None
+
+    # -- sharded operator closures ------------------------------------------
+    def _smap(self, fn, n_dof_args: int, cell_arg_ndims):
+        """Wrap an element kernel: dof-vector args replicated, element arrays
+        sharded on their trailing cell axis, output psum-reduced to a
+        replicated vector."""
+        in_specs = (P(),) * n_dof_args + tuple(
+            _cell_spec(nd) for nd in cell_arg_ndims)
+        reduced = lambda *a: jax.lax.psum(fn(*a), CELL_AXIS)  # noqa: E731
+        return jax.shard_map(reduced, mesh=self.device_mesh,
+                             in_specs=in_specs, out_specs=P())
+
+    def mass(self, p):
+        f = self._smap(
+            lambda x, conn, jxw: ops.apply_mass(x, conn, self.psi_p_at_pq, jxw),
+            1, (2, 2))
+        return f(p, self.conn_p, self.jxw_p)
+
+    def laplace(self, p):
+        f = self._smap(
+            lambda x, conn, jinv, jxw: ops.apply_laplace(
+                x, conn, self.dref_p_at_pq, jinv, jxw), 1, (2, 4, 2))
+        return f(p, self.conn_p, self.jinv_p, self.jxw_p)
+
+    def elasticity(self, u):
+        f = self._smap(
+            lambda x, conn, jinv, jxw: ops.apply_elasticity(
+                x, conn, self.dref_u_at_uq, jinv, jxw, self.lam, self.mu),
+            1, (2, 4, 2))
+        return f(u, self.conn_u, self.jinv_u, self.jxw_u)
+
+    def coupling_rhs(self, p, biot_coef):
+        n_udofs = self.n_udofs
+        f = self._smap(
+            lambda x, cp, cu, jinv, jxw: ops.coupling_rhs(
+                x, cp, cu, self.psi_p_at_uq, self.dref_u_at_uq, jinv, jxw,
+                biot_coef, n_udofs), 1, (2, 2, 4, 2))
+        return f(p, self.conn_p, self.conn_u, self.jinv_u, self.jxw_u)
+
+    def strain_projection_rhs(self, u):
+        n_pdofs = self.n_pdofs
+        f = self._smap(
+            lambda x, cu, cp, jinv, jxw: ops.strain_projection_rhs(
+                x, cu, cp, self.psi_p_at_pq, self.dref_u_at_pq, jinv, jxw,
+                n_pdofs), 1, (2, 2, 4, 2))
+        return f(u, self.conn_u, self.conn_p, self.jinv_p, self.jxw_p)
+
+
+def shard_discretization(disc: Discretization,
+                         device_mesh: DeviceMesh) -> ShardedDiscretization:
+    """Pad element arrays to the mesh size and place them sharded."""
+    n_dev = device_mesh.devices.size
+    n_cells = disc.conn_p.shape[-1]
+    n_pad = (-n_cells) % n_dev
+
+    rep = NamedSharding(device_mesh, P())
+
+    def put_cells(arr, pad_value=0):
+        padded = _pad_cells(arr, n_pad, pad_value)
+        sharding = NamedSharding(device_mesh, _cell_spec(padded.ndim))
+        return jax.device_put(padded, sharding)
+
+    def put_rep(arr):
+        return jax.device_put(arr, rep)
+
+    return ShardedDiscretization(
+        dim=disc.dim, dtype=disc.dtype,
+        pressure_space=disc.pressure_space,
+        displacement_space=disc.displacement_space,
+        conn_p=put_cells(disc.conn_p), conn_u=put_cells(disc.conn_u),
+        psi_p_at_pq=put_rep(disc.psi_p_at_pq),
+        dref_p_at_pq=put_rep(disc.dref_p_at_pq),
+        psi_p_at_uq=put_rep(disc.psi_p_at_uq),
+        dref_u_at_uq=put_rep(disc.dref_u_at_uq),
+        dref_u_at_pq=put_rep(disc.dref_u_at_pq),
+        jinv_u=put_cells(disc.jinv_u), jxw_u=put_cells(disc.jxw_u),
+        jinv_p=put_cells(disc.jinv_p), jxw_p=put_cells(disc.jxw_p),
+        free_mask_u=put_rep(disc.free_mask_u),
+        dirichlet_values=put_rep(disc.dirichlet_values),
+        f_neumann=put_rep(disc.f_neumann), f_well=put_rep(disc.f_well),
+        free_mask_p=put_rep(disc.free_mask_p),
+        dirichlet_values_p=put_rep(disc.dirichlet_values_p),
+        diag_mass=put_rep(disc.diag_mass),
+        diag_laplace=put_rep(disc.diag_laplace),
+        diag_elasticity=put_rep(disc.diag_elasticity),
+        lam=disc.lam, mu=disc.mu,
+        device_mesh=device_mesh,
+    )

@@ -36,25 +36,30 @@ class Discretization:
     # spaces (host-side, for output/inspection)
     pressure_space: FESpace
     displacement_space: FESpace
-    # connectivity
-    conn_p: jnp.ndarray        # (E, Np)
-    conn_u: jnp.ndarray        # (E, Nu*dim), interleaved comps
+    # connectivity — cells-LAST layout (cell index in the TPU lane dim; see
+    # ops/operators.py module docstring for why this is load-bearing)
+    conn_p: jnp.ndarray        # (Np, E)
+    conn_u: jnp.ndarray        # (Nu*dim, E), interleaved comps
     # shape tables (compile-time-constant sized)
     psi_p_at_pq: jnp.ndarray   # (Qp, Np)
     dref_p_at_pq: jnp.ndarray  # (Qp, Np, dim)
     psi_p_at_uq: jnp.ndarray   # (Qu, Np)
     dref_u_at_uq: jnp.ndarray  # (Qu, Nud, dim)
     dref_u_at_pq: jnp.ndarray  # (Qp, Nud, dim)
-    # geometry factors
-    jinv_u: jnp.ndarray        # (E, Qu, dim, dim)
-    jxw_u: jnp.ndarray         # (E, Qu)
-    jinv_p: jnp.ndarray        # (E, Qp, dim, dim)
-    jxw_p: jnp.ndarray         # (E, Qp)
+    # geometry factors, cells-last
+    jinv_u: jnp.ndarray        # (Qu, dim, dim, E)
+    jxw_u: jnp.ndarray         # (Qu, E)
+    jinv_p: jnp.ndarray        # (Qp, dim, dim, E)
+    jxw_p: jnp.ndarray         # (Qp, E)
     # boundary conditions
     free_mask_u: jnp.ndarray   # (n_udofs,) 1.0 free / 0.0 dirichlet
     dirichlet_values: jnp.ndarray  # (n_udofs,) 0 on free dofs
     f_neumann: jnp.ndarray     # (n_udofs,)
     f_well: jnp.ndarray        # (n_pdofs,)
+    # pressure Dirichlet (drainage) — extension over the reference, which
+    # supports none (PoroElasticPressureSolver.h:72)
+    free_mask_p: jnp.ndarray       # (n_pdofs,)
+    dirichlet_values_p: jnp.ndarray  # (n_pdofs,)
     # preconditioner diagonals
     diag_mass: jnp.ndarray     # (n_pdofs,)
     diag_laplace: jnp.ndarray  # (n_pdofs,)
@@ -73,7 +78,7 @@ class Discretization:
 
     @property
     def n_cells(self) -> int:
-        return self.conn_p.shape[0]
+        return self.conn_p.shape[-1]
 
     # ---- operator closures (matrix-free) ---------------------------------
     def mass(self, p):
@@ -174,6 +179,27 @@ def _neumann_vector(mesh: Mesh, u_space: FESpace, data: InputData) -> np.ndarray
     return f
 
 
+def _pressure_dirichlet(mesh: Mesh, p_space: FESpace, data: InputData):
+    """First-wins (node) pinning for drainage boundaries (our extension)."""
+    n = p_space.n_nodes
+    free = np.ones(n, dtype=bool)
+    values = np.zeros(n)
+    faces_lat = face_lattice_indices(p_space.degree, mesh.dim)
+    for lbl, val in zip(data.pressure_boundary_labels,
+                        data.pressure_boundary_values):
+        sel = mesh.face_ids == lbl
+        if not sel.any():
+            continue
+        for local_face in np.unique(mesh.face_local[sel]):
+            m = sel & (mesh.face_local == local_face)
+            nodes = np.unique(
+                p_space.cell_nodes[mesh.face_cells[m]][:, faces_lat[local_face]])
+            newly = free[nodes]
+            values[nodes[newly]] = val
+            free[nodes[newly]] = False
+    return free, values
+
+
 def _dirichlet_constraints(mesh: Mesh, u_space: FESpace, data: InputData):
     """First-condition-wins Dirichlet (node, component) pinning, matching
     deal.II interpolate_boundary_values into a ConstraintMatrix
@@ -245,8 +271,12 @@ def build_discretization(mesh: Mesh, data: InputData,
     _, dref_u_at_uq = shape_tables(displacement_degree, dim, uq_pts)
     _, dref_u_at_pq = shape_tables(displacement_degree, dim, pq_pts)
 
-    conn_p = p_space.cell_nodes
-    conn_u = u_space.vector_cell_dofs(dim)
+    # cells-last layouts for the hot path
+    conn_p = np.ascontiguousarray(p_space.cell_nodes.T)
+    conn_u = np.ascontiguousarray(u_space.vector_cell_dofs(dim).T)
+    t_jinv = lambda a: np.ascontiguousarray(  # (E,Q,m,d) -> (Q,m,d,E)
+        np.transpose(np.asarray(a), (1, 2, 3, 0)))  # noqa: E731
+    t_jxw = lambda a: np.ascontiguousarray(np.asarray(a).T)  # noqa: E731
 
     # physical coordinates of pressure quadrature points (for the well)
     n1_at_pq, _ = shape_tables(1, dim, pq_pts)
@@ -255,6 +285,7 @@ def build_discretization(mesh: Mesh, data: InputData,
     f_well = _well_vector(p_space, data, jxw_p, psi_p_at_pq, x_q)
     f_neumann = _neumann_vector(mesh, u_space, data)
     free_np, dirichlet_np = _dirichlet_constraints(mesh, u_space, data)
+    free_p_np, dirichlet_p_np = _pressure_dirichlet(mesh, p_space, data)
 
     lam, mu = data.lame_constant, data.shear_modulus
 
@@ -267,11 +298,13 @@ def build_discretization(mesh: Mesh, data: InputData,
         psi_p_at_pq=jp(psi_p_at_pq), dref_p_at_pq=jp(dref_p_at_pq),
         psi_p_at_uq=jp(psi_p_at_uq), dref_u_at_uq=jp(dref_u_at_uq),
         dref_u_at_pq=jp(dref_u_at_pq),
-        jinv_u=jp(jinv_u), jxw_u=jp(jxw_u),
-        jinv_p=jp(jinv_p), jxw_p=jp(jxw_p),
+        jinv_u=jp(t_jinv(jinv_u)), jxw_u=jp(t_jxw(jxw_u)),
+        jinv_p=jp(t_jinv(jinv_p)), jxw_p=jp(t_jxw(jxw_p)),
         free_mask_u=jp(free_np.astype(np.float64)),
         dirichlet_values=jp(dirichlet_np),
         f_neumann=jp(f_neumann), f_well=jp(f_well),
+        free_mask_p=jp(free_p_np.astype(np.float64)),
+        dirichlet_values_p=jp(dirichlet_p_np),
         diag_mass=jnp.zeros(p_space.n_nodes, dtype),      # filled below
         diag_laplace=jnp.zeros(p_space.n_nodes, dtype),
         diag_elasticity=jnp.ones(u_space.n_nodes * dim, dtype),

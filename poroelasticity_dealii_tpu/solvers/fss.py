@@ -38,10 +38,11 @@ from ..ops.operators import SHEAR_ENTRIES, VOIGT_PAIRS, VOLUMETRIC_ENTRIES
 from .cg import cg_solve, cg_solve_batched
 from .discretization import Discretization
 
-CG_MAX_ITER = 1000          # SolverControl(1000, ...) everywhere
-DISP_CG_ABS_TOL = 1e-12     # PoroElasticDisplacementSolver.h:298
-PRESSURE_CG_REL_TOL = 1e-8  # PoroElasticPressureSolver.h:175
-PROJECTION_CG_REL_TOL = 1e-8  # StrainProjector.h:209
+# reference defaults live in config.InputData: mech CG abs 1e-12
+# (PoroElasticDisplacementSolver.h:298), pressure/projection CG rel 1e-8
+# (PoroElasticPressureSolver.h:175, StrainProjector.h:209), 1000 iters
+# (SolverControl(1000, ...) everywhere); all overridable per deck for
+# float32 runs.
 
 
 class StepStats(NamedTuple):
@@ -78,22 +79,27 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
     def _pressure_residual(self, p, p_old, eps_v, eps_v0, dt):
         """Negated Biot flow residual (PoroElasticPressureSolver.h:113-155):
         -[ M ((b/dt)(eps_v - eps_v0) + (p - p_old)/(M_biot dt)) + (k/mu) L p
-           + F_well ]."""
+           + F_well ], restricted to free pressure dofs (drainage-BC rows are
+        constrained — an extension over the reference)."""
         d, data = self.disc, self.data
         acc = (data.biot_coef / dt) * (eps_v - eps_v0) \
             + (1.0 / data.m_modulus / dt) * (p - p_old)
         res = d.mass(acc) + (data.perm / data.visc) * d.laplace(p) + d.f_well
-        return -res
+        return -res * d.free_mask_p
 
     def _pressure_jacobian_apply(self, x, dt):
         d, data = self.disc, self.data
-        return (1.0 / data.m_modulus / dt) * d.mass(x) \
-            + (data.perm / data.visc) * d.laplace(x)
+        xm = x * d.free_mask_p
+        y = (1.0 / data.m_modulus / dt) * d.mass(xm) \
+            + (data.perm / data.visc) * d.laplace(xm)
+        return y * d.free_mask_p + x * (1.0 - d.free_mask_p)
 
     def _pressure_jacobian_diag(self, dt):
         d, data = self.disc, self.data
-        return (1.0 / data.m_modulus / dt) * d.diag_mass \
+        diag = (1.0 / data.m_modulus / dt) * d.diag_mass \
             + (data.perm / data.visc) * d.diag_laplace
+        return jnp.where(d.free_mask_p > 0, diag,
+                         jnp.ones((), d.dtype))
 
     # ---------------- mechanics solve ---------------------------------------
 
@@ -108,9 +114,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             + (1.0 - d.free_mask_u) * g
         apply = d.elasticity_constrained
         x0 = d.free_mask_u * u_warm + (1.0 - d.free_mask_u) * g
+        tol = jnp.asarray(data.mech_cg_tol, d.dtype)
+        if data.mech_cg_relative:
+            tol = tol * jnp.linalg.norm(b_mod)
         res = cg_solve(apply, b_mod, x0, d.diag_elasticity,
-                       tol=jnp.asarray(DISP_CG_ABS_TOL, d.dtype),
-                       max_iter=CG_MAX_ITER)
+                       tol=tol, max_iter=data.cg_max_iterations)
         return res.x, res.iterations
 
     # ---------------- strain projection -------------------------------------
@@ -121,18 +129,20 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         d = self.disc
         rhs_all = d.strain_projection_rhs(u)          # (n_voigt, n_pdofs)
         rhs = rhs_all[jnp.asarray(entries)]
-        tol = PROJECTION_CG_REL_TOL * jnp.linalg.norm(rhs, axis=1)
+        tol = self.data.projection_cg_tol * jnp.linalg.norm(rhs, axis=1)
         res = cg_solve_batched(d.mass, rhs, warm, d.diag_mass, tol,
-                               CG_MAX_ITER)
+                               self.data.cg_max_iterations)
         return res.x, jnp.sum(res.iterations).astype(jnp.int32)
 
     # ---------------- initialization (PoroelasticityFSS.h:311-317) ----------
 
+    @partial(jax.jit, static_argnums=0)
     def initial_state(self) -> State:
         d, data = self.disc, self.data
         dim = d.dim
         n_voigt = len(VOIGT_PAIRS[dim])
         p = jnp.full((d.n_pdofs,), data.p_init, d.dtype)
+        p = p * d.free_mask_p + d.dirichlet_values_p * (1.0 - d.free_mask_p)
         u0 = jnp.zeros((d.n_udofs,), d.dtype)
         u, _ = self._mechanics_solve(p, u0)
         vol = VOLUMETRIC_ENTRIES[dim]
@@ -154,7 +164,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         vol = VOLUMETRIC_ENTRIES[dim]
         shear = SHEAR_ENTRIES[dim]
         p_old = state.p
-        eps_v0 = state.eps_v0
+        resync = data.resync_volumetric_strain
+        # accumulation reference strain: the reference compares against the
+        # t=0 strain for ALL time (PoroelasticityFSS.h:317 — quirk mode);
+        # corrected mode uses the step-start strain (backward Euler).
+        eps_v0 = state.eps_v if resync else state.eps_v0
         max_fss = data.max_fss_iterations
         max_press = data.max_pressure_iterations
 
@@ -176,8 +190,8 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 k, p, eps_v, delta_p, r, err, cg_tot = c
                 res = cg_solve(lambda x: self._pressure_jacobian_apply(x, dt),
                                r, delta_p, jac_diag,
-                               tol=PRESSURE_CG_REL_TOL * jnp.linalg.norm(r),
-                               max_iter=CG_MAX_ITER)
+                               tol=data.pressure_cg_tol * jnp.linalg.norm(r),
+                               max_iter=data.cg_max_iterations)
                 delta_p = res.x
                 p = p + delta_p
                 eps_v = eps_v + (data.biot_coef / data.bulk_modulus) * delta_p
@@ -202,6 +216,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 c["p"], c["eps_v"], delta_p)
             u, cg_u = self._mechanics_solve(p, c["u"])
             vol_strains, cg_proj = self._project(u, vol, c["vol_strains"])
+            if resync:
+                # textbook fixed-stress correction: eps_v follows the
+                # projected mechanical strain (the line the reference left
+                # commented out, PoroelasticityFSS.h:399)
+                eps_v = jnp.sum(vol_strains, axis=0)
             r = self._pressure_residual(p, p_old, eps_v, eps_v0, dt)
             err = jnp.linalg.norm(r)
             it = c["fss_iter"]
@@ -246,6 +265,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
     # ---------------- nodal effective stresses ------------------------------
 
+    @partial(jax.jit, static_argnums=0)
     def effective_stresses(self, strains):
         """sigma = C : eps nodally (PoroelasticityFSS.h:190-224), exploiting
         isotropy: sigma_ij = lam tr(eps) delta_ij + 2 mu eps_ij."""

@@ -33,9 +33,11 @@ def test_mass_and_laplace_apply(dim):
                               sp.cell_nodes, sp.n_nodes)
     pts, wts = gauss_tensor(2, dim)
     jinv, jxw = geometry_factors(m.vertices[m.cells], pts, wts)
+    jinv = jnp.transpose(jinv, (1, 2, 3, 0))
+    jxw = jnp.transpose(jxw)
     psi, dpsi = shape_tables(1, dim, pts)
     x = np.random.default_rng(0).standard_normal(sp.n_nodes)
-    conn = jnp.array(sp.cell_nodes)
+    conn = jnp.array(sp.cell_nodes.T)
     np.testing.assert_allclose(
         ops.apply_mass(jnp.array(x), conn, jnp.array(psi), jxw), M @ x,
         rtol=1e-12, atol=1e-12)
@@ -58,9 +60,11 @@ def test_elasticity_apply(dim):
         su.n_nodes * dim)
     pts, wts = gauss_tensor(3, dim)
     jinv, jxw = geometry_factors(m.vertices[m.cells], pts, wts)
+    jinv = jnp.transpose(jinv, (1, 2, 3, 0))
+    jxw = jnp.transpose(jxw)
     _, dpsi = shape_tables(2, dim, pts)
     x = np.random.default_rng(1).standard_normal(su.n_nodes * dim)
-    y = ops.apply_elasticity(jnp.array(x), jnp.array(conn_u),
+    y = ops.apply_elasticity(jnp.array(x), jnp.array(conn_u.T),
                              jnp.array(dpsi), jinv, jxw, LAM, MU)
     ref = K @ x
     np.testing.assert_allclose(y, ref, rtol=1e-11, atol=1e-6 * np.abs(ref).max())
@@ -68,7 +72,7 @@ def test_elasticity_apply(dim):
     for c in range(dim):
         t = np.zeros(su.n_nodes * dim)
         t[c::dim] = 1.0
-        z = ops.apply_elasticity(jnp.array(t), jnp.array(conn_u),
+        z = ops.apply_elasticity(jnp.array(t), jnp.array(conn_u.T),
                                  jnp.array(dpsi), jinv, jxw, LAM, MU)
         assert np.abs(np.asarray(z)).max() < 1e-4  # ~1e-13 relative to LAM
 
@@ -84,14 +88,18 @@ def test_diagonals(dim):
                               sp.cell_nodes, sp.n_nodes)
     ptsu, wtsu = gauss_tensor(3, dim)
     jinvu, jxwu = geometry_factors(m.vertices[m.cells], ptsu, wtsu)
+    jinvu = jnp.transpose(jinvu, (1, 2, 3, 0))
+    jxwu = jnp.transpose(jxwu)
     _, dpsu = shape_tables(2, dim, ptsu)
-    dK = ops.elasticity_diagonal(jnp.array(conn_u), jnp.array(dpsu), jinvu,
+    dK = ops.elasticity_diagonal(jnp.array(conn_u.T), jnp.array(dpsu), jinvu,
                                  jxwu, LAM, MU, su.n_nodes * dim)
     np.testing.assert_allclose(dK, K.diagonal(), rtol=1e-12)
     pts, wts = gauss_tensor(2, dim)
     jinv, jxw = geometry_factors(m.vertices[m.cells], pts, wts)
+    jinv = jnp.transpose(jinv, (1, 2, 3, 0))
+    jxw = jnp.transpose(jxw)
     psi, _ = shape_tables(1, dim, pts)
-    dM = ops.mass_diagonal(jnp.array(sp.cell_nodes), jnp.array(psi), jxw,
+    dM = ops.mass_diagonal(jnp.array(sp.cell_nodes.T), jnp.array(psi), jxw,
                            sp.n_nodes)
     np.testing.assert_allclose(dM, M.diagonal(), rtol=1e-12)
 
@@ -101,10 +109,12 @@ def test_strain_projection_rhs(dim):
     """rhs_c[i] = ∫ psi_i eps_c(u) dx — verified against dense quadrature
     for a linear displacement field with known constant strain."""
     m, sp, su = _setup(dim)
-    conn_u = jnp.array(su.vector_cell_dofs(dim))
-    conn_p = jnp.array(sp.cell_nodes)
+    conn_u = jnp.array(su.vector_cell_dofs(dim).T)
+    conn_p = jnp.array(sp.cell_nodes.T)
     pts, wts = gauss_tensor(2, dim)
     jinv_p, jxw_p = geometry_factors(m.vertices[m.cells], pts, wts)
+    jinv_p = jnp.transpose(jinv_p, (1, 2, 3, 0))
+    jxw_p = jnp.transpose(jxw_p)
     psi_p, _ = shape_tables(1, dim, pts)
     _, dref_u = shape_tables(2, dim, pts)
     # u(x) = A x with A random -> eps = sym(A) constant
