@@ -31,16 +31,19 @@ def geometry_factors(corner_xyz, quad_points, quad_weights):
       ``(jinv (E, Q, dim, dim), jxw (E, Q))`` with
       ``jinv[m, d] = (J^{-1})[m, d]`` so that
       ``grad_x phi[d] = sum_m jinv[m, d] * grad_ref phi[m]``.
+
+    Dispatches on input type: numpy in -> numpy out (setup stays on the
+    host, avoiding slow emulated-f64 TPU work), jnp in -> jnp out.
     """
-    corner_xyz = jnp.asarray(corner_xyz)
+    xp = jnp if isinstance(corner_xyz, jnp.ndarray) else np
     dim = corner_xyz.shape[-1]
     dtype = corner_xyz.dtype
     _, dn1 = shape_tables(1, dim, np.asarray(quad_points))
-    dn1 = jnp.asarray(dn1, dtype=dtype)            # (Q, 2**dim, dim)
-    w = jnp.asarray(np.asarray(quad_weights), dtype=dtype)
+    dn1 = xp.asarray(dn1, dtype=dtype)             # (Q, 2**dim, dim)
+    w = xp.asarray(np.asarray(quad_weights), dtype=dtype)
 
     # J[e,q,i,j] = d x_i / d xi_j
-    jac = jnp.einsum("evi,qvj->eqij", corner_xyz, dn1)
+    jac = xp.einsum("evi,qvj->eqij", corner_xyz, dn1)
     if dim == 1:
         det = jac[..., 0, 0]
         jinv = (1.0 / det)[..., None, None]
@@ -49,9 +52,9 @@ def geometry_factors(corner_xyz, quad_points, quad_weights):
         c, d = jac[..., 1, 0], jac[..., 1, 1]
         det = a * d - b * c
         inv_det = 1.0 / det
-        jinv = jnp.stack([
-            jnp.stack([d * inv_det, -b * inv_det], axis=-1),
-            jnp.stack([-c * inv_det, a * inv_det], axis=-1),
+        jinv = xp.stack([
+            xp.stack([d * inv_det, -b * inv_det], axis=-1),
+            xp.stack([-c * inv_det, a * inv_det], axis=-1),
         ], axis=-2)
     else:
         # explicit adjugate: batched tiny LU is unsupported/slow on TPU
@@ -67,10 +70,10 @@ def geometry_factors(corner_xyz, quad_points, quad_weights):
         c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
         det = (a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02)
         inv_det = 1.0 / det
-        jinv = jnp.stack([
-            jnp.stack([c00, c10, c20], axis=-1),
-            jnp.stack([c01, c11, c21], axis=-1),
-            jnp.stack([c02, c12, c22], axis=-1),
+        jinv = xp.stack([
+            xp.stack([c00, c10, c20], axis=-1),
+            xp.stack([c01, c11, c21], axis=-1),
+            xp.stack([c02, c12, c22], axis=-1),
         ], axis=-2) * inv_det[..., None, None]
     jxw = det * w[None, :]
     return jinv, jxw

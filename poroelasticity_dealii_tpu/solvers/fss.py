@@ -103,13 +103,17 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
     # ---------------- mechanics solve ---------------------------------------
 
-    def _mechanics_solve(self, p, u_warm):
+    def _mechanics_solve(self, p, u_warm, bc_scale=1.0):
         """Elasticity solve with pressure-coupling RHS + traction + Dirichlet
         (PoroElasticDisplacementSolver.h:155-307).  Body force follows the
-        reference's effective default: zero (gravity quirk, SURVEY §2.1.2)."""
+        reference's effective default: zero (gravity quirk, SURVEY §2.1.2).
+
+        ``bc_scale`` (traced scalar) scales the Dirichlet value pattern —
+        time-dependent loading (e.g. Mandel's rigid plate) without
+        recompiling."""
         d, data = self.disc, self.data
         rhs = d.coupling_rhs(p, data.biot_coef) + d.f_neumann
-        g = d.dirichlet_values
+        g = d.dirichlet_values * bc_scale
         b_mod = d.free_mask_u * (rhs - d.elasticity(g)) \
             + (1.0 - d.free_mask_u) * g
         apply = d.elasticity_constrained
@@ -137,14 +141,14 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
     # ---------------- initialization (PoroelasticityFSS.h:311-317) ----------
 
     @partial(jax.jit, static_argnums=0)
-    def initial_state(self) -> State:
+    def initial_state(self, bc_scale=1.0) -> State:
         d, data = self.disc, self.data
         dim = d.dim
         n_voigt = len(VOIGT_PAIRS[dim])
         p = jnp.full((d.n_pdofs,), data.p_init, d.dtype)
         p = p * d.free_mask_p + d.dirichlet_values_p * (1.0 - d.free_mask_p)
         u0 = jnp.zeros((d.n_udofs,), d.dtype)
-        u, _ = self._mechanics_solve(p, u0)
+        u, _ = self._mechanics_solve(p, u0, bc_scale)
         vol = VOLUMETRIC_ENTRIES[dim]
         warm = jnp.zeros((len(vol), d.n_pdofs), d.dtype)
         vol_strains, _ = self._project(u, vol, warm)
@@ -156,9 +160,10 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
     # ---------------- one full time step (jitted) ---------------------------
 
     @partial(jax.jit, static_argnums=0)
-    def time_step(self, state: State, dt):
+    def time_step(self, state: State, dt, bc_scale=1.0):
         """One Δt: FSS outer loop over (pressure inner loop, mechanics solve,
-        normal-strain projection), then shear strains — all on-chip."""
+        normal-strain projection), then shear strains — all on-chip.
+        ``bc_scale`` scales Dirichlet displacement values (traced)."""
         d, data = self.disc, self.data
         dim = d.dim
         vol = VOLUMETRIC_ENTRIES[dim]
@@ -214,7 +219,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             delta_p = jnp.zeros_like(c["p"])  # reset per FSS iteration (:356)
             p, eps_v, delta_p, err_p, n_press, cg_p = pressure_inner(
                 c["p"], c["eps_v"], delta_p)
-            u, cg_u = self._mechanics_solve(p, c["u"])
+            u, cg_u = self._mechanics_solve(p, c["u"], bc_scale)
             vol_strains, cg_proj = self._project(u, vol, c["vol_strains"])
             if resync:
                 # textbook fixed-stress correction: eps_v follows the
