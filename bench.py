@@ -35,18 +35,18 @@ def build(platform=None, cells=CELLS_PER_AXIS):
     if platform:
         jax.config.update("jax_platforms", platform)
     from poroelasticity_dealii_tpu.config import read_input_file
-    from poroelasticity_dealii_tpu.mesh import hyper_rectangle
-    from poroelasticity_dealii_tpu.solvers import (FixedStressSolver,
-                                                   build_discretization)
+    from poroelasticity_dealii_tpu.solvers import FixedStressSolver
+    from poroelasticity_dealii_tpu.solvers.structured import \
+        build_grid_discretization
     data = read_input_file(os.path.join(HERE, "configs/consolidation_3d.data"))
     data = dataclasses.replace(
         data, dtype="float32",
+        flow_rate=1e-2,                            # keep the flow solve hot
         fss_tol=1e-3, pressure_tol=1e-3,          # f32-appropriate absolutes
         mech_cg_tol=1e-5, mech_cg_relative=True,
         pressure_cg_tol=1e-5, projection_cg_tol=1e-5)
     t0 = time.perf_counter()
-    mesh = hyper_rectangle(data.domain_size, cells_per_axis=cells)
-    disc = build_discretization(mesh, data)
+    disc = build_grid_discretization(data, cells_per_axis=cells)
     solver = FixedStressSolver(disc, data)
     setup_s = time.perf_counter() - t0
     n_dofs = disc.n_pdofs + disc.n_udofs

@@ -29,16 +29,21 @@ from ..utils.vtk_io import displacement_at_pressure_nodes, write_vtk
 
 
 class SimulationRunner:
-    def __init__(self, data: InputData, mesh=None, logger: Optional[RunLogger] = None):
+    def __init__(self, data: InputData, mesh=None,
+                 logger: Optional[RunLogger] = None, disc=None):
         self.data = data
-        if mesh is None:
-            if data.mesh_file:
-                mesh = read_msh(data.mesh_file, dim=data.dim)
-            else:
-                mesh = hyper_rectangle(data.domain_size[:data.dim],
-                                       data.initial_refinement_level)
-        self.mesh = mesh
-        self.disc = build_discretization(mesh, data)
+        if disc is not None:
+            self.disc = disc
+        elif mesh is not None:
+            self.disc = build_discretization(mesh, data)
+        elif data.mesh_file:
+            mesh = read_msh(data.mesh_file, dim=data.dim)
+            self.disc = build_discretization(mesh, data)
+        else:
+            # uniform rectilinear domain: gather/scatter-free fast path
+            from ..solvers.structured import build_grid_discretization
+            self.disc = build_grid_discretization(data)
+        self.mesh = self.disc.pressure_space.mesh
         self.solver = FixedStressSolver(self.disc, data)
         self.logger = logger or RunLogger(
             os.path.join(data.output_directory, "run_log.jsonl"))

@@ -53,35 +53,48 @@ def scatter_add(values, conn, n_dofs):
 
 
 # --------------------------------------------------------------------------
-# scalar (pressure) operators — conn (N, E), jinv (Q, m, d, E), jxw (Q, E)
+# compute cores — local dof values in, local contributions out, cells in the
+# trailing (lane) axis.  Shared by the generic gather/scatter wrappers below
+# and the structured strided-slice path (ops/structured.py).  Geometry
+# factors may broadcast over cells (trailing dim 1) for uniform grids.
+#
+# The dim-sized contractions with jinv are unrolled into broadcast
+# multiply-adds: einsum would lower them to batched 3x3 dots, which the TPU
+# executes an order of magnitude slower than plain VPU fma chains.
 # --------------------------------------------------------------------------
 
-def apply_mass(p, conn, psi, jxw):
-    """y = M p with M_ij = ∫ psi_i psi_j dx (MatrixCreator::create_mass_matrix,
-    PoroElasticPressureSolver.h:96-98)."""
-    pe = p[conn]                                    # (N, E)
-    v = jnp.einsum("qn,nE->qE", psi, pe)            # values at q-points
-    ye = jnp.einsum("qn,qE->nE", psi, jxw * v)
-    return scatter_add(ye, conn, p.shape[0])
+def _apply_jinv(r, jinv):
+    """h[q,i,j,E] = sum_m r[q,m,i,E] * jinv[q,m,j,E] (unrolled over m)."""
+    dim = jinv.shape[1]
+    return sum(r[:, m, :, None, :] * jinv[:, m, None, :, :]
+               for m in range(dim))
 
 
-def apply_laplace(p, conn, dref, jinv, jxw):
-    """y = L p with L_ij = ∫ grad psi_i . grad psi_j dx
-    (MatrixCreator::create_laplace_matrix, PoroElasticPressureSolver.h:99-101)."""
-    pe = p[conn]
-    r = jnp.einsum("qnm,nE->qmE", dref, pe)         # ref gradients
-    g = jnp.einsum("qmE,qmdE->qdE", r, jinv)        # physical gradients
-    t = jnp.einsum("qdE,qmdE->qmE", g * jxw[:, None, :], jinv)
-    ye = jnp.einsum("qnm,qmE->nE", dref, t)
-    return scatter_add(ye, conn, p.shape[0])
+def _apply_jinv_T(s, jinv):
+    """t[q,m,i,E] = sum_j s[q,i,j,E] * jinv[q,m,j,E] (unrolled over j)."""
+    dim = jinv.shape[1]
+    return sum(s[:, None, :, j, :] * jinv[:, :, None, j, :]
+               for j in range(dim))
 
 
-# --------------------------------------------------------------------------
-# vector (displacement) elasticity — conn_u (N*dim, E), interleaved comps
-# --------------------------------------------------------------------------
+def mass_core(pe, psi, jxw):
+    """pe (N, E) -> M_e pe (N, E)."""
+    v = jnp.einsum("qn,nE->qE", psi, pe)
+    return jnp.einsum("qn,qE->nE", psi, jxw * v)
 
-def apply_elasticity(u, conn_u, dref, jinv, jxw, lam, mu):
-    """y = K u for isotropic linear elasticity.
+
+def laplace_core(pe, dref, jinv, jxw):
+    """pe (N, E) -> L_e pe (N, E)."""
+    dim = jinv.shape[1]
+    r = jnp.einsum("qnm,nE->qmE", dref, pe)          # ref gradients
+    g = sum(r[:, m, None, :] * jinv[:, m, :, :] for m in range(dim))  # (q,d,E)
+    gw = g * jxw[:, None, :]
+    t = sum(gw[:, None, d, :] * jinv[:, :, d, :] for d in range(dim))
+    return jnp.einsum("qnm,qmE->nE", dref, t)
+
+
+def elasticity_core(ue, dref, jinv, jxw, lam, mu):
+    """ue (N, dim, E) -> K_e ue (N*dim, E).
 
     K[(n,i),(m,j)] = ∫ eps(phi_ni) : C : eps(phi_mj) with
     C = lambda I⊗I + 2 mu II (the reference's ``isotropic_gassman_tensor``,
@@ -90,60 +103,87 @@ def apply_elasticity(u, conn_u, dref, jinv, jxw, lam, mu):
     sigma = lambda tr(grad u) I + mu (grad u + grad uᵀ) instead of
     materializing the rank-4 tensor.
     """
-    n_dofs = u.shape[0]
     Q, N, dim = dref.shape
-    E = conn_u.shape[-1]
-    ue = u[conn_u].reshape(N, dim, E)               # local (node, comp, cell)
-    r = jnp.einsum("qnm,niE->qmiE", dref, ue)       # MXU: (Q*m, N)@(N, i*E)
-    h = jnp.einsum("qmiE,qmjE->qijE", r, jinv)      # grad u, lanes = cells
+    E = ue.shape[-1]
+    r = jnp.einsum("qnm,niE->qmiE", dref, ue)        # MXU: (Q*m, N)@(N, i*E)
+    h = _apply_jinv(r, jinv)                         # grad u (Q, i, j, E)
     tr = h[:, 0, 0] + h[:, 1, 1] + (h[:, 2, 2] if dim == 3 else 0.0)
     sig = mu * (h + jnp.swapaxes(h, 1, 2))
-    eye = jnp.eye(dim, dtype=u.dtype)[None, :, :, None]
+    eye = jnp.eye(dim, dtype=ue.dtype)[None, :, :, None]
     sig = sig + (lam * tr)[:, None, None, :] * eye
     s = sig * jxw[:, None, None, :]
-    t = jnp.einsum("qijE,qmjE->qmiE", s, jinv)
-    ye = jnp.einsum("qnm,qmiE->niE", dref, t)       # MXU: (N, Q*m)@(Q*m, i*E)
-    return scatter_add(ye.reshape(N * dim, E), conn_u, n_dofs)
+    t = _apply_jinv_T(s, jinv)
+    ye = jnp.einsum("qnm,qmiE->niE", dref, t)        # MXU: (N, Q*m)@(Q*m, i*E)
+    return ye.reshape(N * dim, E)
+
+
+def coupling_core(pe, psi_p_at_uq, dref_u, jinv_u, jxw_u, biot_coef):
+    """pe (Np, E) -> coupling RHS contribution (Nu*dim, E):
+    f[(n,i)] = ∫ b p d phi_n/d x_i dx
+    (PoroElasticDisplacementSolver.h:227-234)."""
+    Q, N, dim = dref_u.shape
+    E = pe.shape[-1]
+    pv = jnp.einsum("qj,jE->qE", psi_p_at_uq, pe)    # pressure at disp q-pts
+    w = biot_coef * jxw_u * pv                       # (Q, E)
+    t = w[:, None, None, :] * jinv_u                 # (Q, m, c, E)
+    ye = jnp.einsum("qnm,qmcE->ncE", dref_u, t)
+    return ye.reshape(N * dim, -1)
+
+
+def projection_core(ue, psi_p, dref_u_at_pq, jinv_p, jxw_p):
+    """ue (Nu, dim, E) -> per-cell projection RHS (Np, C, E):
+    rhs[c][i] = ∫ psi_i eps_c(u) dx (StrainProjector.h:159-196)."""
+    dim = dref_u_at_pq.shape[2]
+    pairs = VOIGT_PAIRS[dim]
+    r = jnp.einsum("qnm,niE->qmiE", dref_u_at_pq, ue)
+    h = _apply_jinv(r, jinv_p)                       # grad u at pressure q-pts
+    eps = 0.5 * (h + jnp.swapaxes(h, 1, 2))
+    comps = jnp.stack([eps[:, a, b] for (a, b) in pairs], axis=1)  # (Q,C,E)
+    return jnp.einsum("qi,qcE->icE", psi_p, comps * jxw_p[:, None, :])
+
+
+# --------------------------------------------------------------------------
+# generic (unstructured) wrappers — conn (N, E) gather + segment-sum scatter
+# --------------------------------------------------------------------------
+
+def apply_mass(p, conn, psi, jxw):
+    """y = M p (MatrixCreator::create_mass_matrix,
+    PoroElasticPressureSolver.h:96-98)."""
+    return scatter_add(mass_core(p[conn], psi, jxw), conn, p.shape[0])
+
+
+def apply_laplace(p, conn, dref, jinv, jxw):
+    """y = L p (MatrixCreator::create_laplace_matrix,
+    PoroElasticPressureSolver.h:99-101)."""
+    return scatter_add(laplace_core(p[conn], dref, jinv, jxw), conn,
+                       p.shape[0])
+
+
+def apply_elasticity(u, conn_u, dref, jinv, jxw, lam, mu):
+    """y = K u for isotropic linear elasticity (see elasticity_core)."""
+    Q, N, dim = dref.shape
+    E = conn_u.shape[-1]
+    ue = u[conn_u].reshape(N, dim, E)                # local (node, comp, cell)
+    return scatter_add(elasticity_core(ue, dref, jinv, jxw, lam, mu),
+                       conn_u, u.shape[0])
 
 
 def coupling_rhs(p, conn_p, conn_u, psi_p_at_uq, dref_u, jinv_u, jxw_u,
                  biot_coef, n_udofs):
-    """f[(n,i)] = ∫ b p tr(eps(phi_ni)) dx = ∫ b p d phi_n/d x_i dx —
-    the pore-pressure coupling RHS (PoroElasticDisplacementSolver.h:227-234).
-    """
-    Q, N, dim = dref_u.shape
-    E = conn_u.shape[-1]
-    pe = p[conn_p]                                  # (Np, E)
-    pv = jnp.einsum("qj,jE->qE", psi_p_at_uq, pe)   # pressure at disp q-pts
-    w = biot_coef * jxw_u * pv                      # (Q, E)
-    t = w[:, None, None, :] * jinv_u                # (Q, m, c, E)
-    ye = jnp.einsum("qnm,qmcE->ncE", dref_u, t)
-    return scatter_add(ye.reshape(N * dim, E), conn_u, n_udofs)
+    ye = coupling_core(p[conn_p], psi_p_at_uq, dref_u, jinv_u, jxw_u,
+                       biot_coef)
+    return scatter_add(ye, conn_u, n_udofs)
 
-
-# --------------------------------------------------------------------------
-# strain projection (StrainProjector.h:109-198)
-# --------------------------------------------------------------------------
 
 def strain_projection_rhs(u, conn_u, conn_p, psi_p, dref_u_at_pq, jinv_p,
                           jxw_p, n_pdofs):
-    """RHS of the L2 projection of all unique strain components onto the
-    pressure space: rhs[c][i] = ∫ psi_i eps_c(u) dx, every Voigt component
-    in one sweep (the reference also assembles all requested components per
-    cell sweep, StrainProjector.h:159-196).  Returns ``(n_voigt, n_pdofs)``.
-    """
+    """All unique strain components in one sweep; returns (n_voigt, n_pdofs)."""
     Q, N, dim = dref_u_at_pq.shape
     E = conn_u.shape[-1]
-    pairs = VOIGT_PAIRS[dim]
     ue = u[conn_u].reshape(N, dim, E)
-    r = jnp.einsum("qnm,niE->qmiE", dref_u_at_pq, ue)
-    h = jnp.einsum("qmiE,qmjE->qijE", r, jinv_p)    # grad u at pressure q-pts
-    eps = 0.5 * (h + jnp.swapaxes(h, 1, 2))
-    comps = jnp.stack([eps[:, a, b] for (a, b) in pairs], axis=1)  # (Q,C,E)
-    ye = jnp.einsum("qi,qcE->icE", psi_p, comps * jxw_p[:, None, :])
-    flat = jax.vmap(lambda y: scatter_add(y, conn_p, n_pdofs),
+    ye = projection_core(ue, psi_p, dref_u_at_pq, jinv_p, jxw_p)
+    return jax.vmap(lambda y: scatter_add(y, conn_p, n_pdofs),
                     in_axes=1, out_axes=0)(ye)
-    return flat
 
 
 # --------------------------------------------------------------------------
@@ -152,24 +192,26 @@ def strain_projection_rhs(u, conn_u, conn_p, psi_p, dref_u_at_pq, jinv_p,
 
 def mass_diagonal(conn, psi, jxw, n_dofs):
     de = jnp.einsum("qE,qn->nE", jxw, psi * psi)
+    de = jnp.broadcast_to(de, conn.shape)           # uniform-grid E=1 case
     return scatter_add(de, conn, n_dofs)
 
 
 def laplace_diagonal(conn, dref, jinv, jxw, n_dofs):
     g = jnp.einsum("qnm,qmdE->qndE", dref, jinv)
     de = jnp.einsum("qE,qndE->nE", jxw, g * g)
+    de = jnp.broadcast_to(de, conn.shape)
     return scatter_add(de, conn, n_dofs)
 
 
 def elasticity_diagonal(conn_u, dref, jinv, jxw, lam, mu, n_udofs):
     """diag K[(n,c)] = ∫ [lam G_nc² + mu (Σ_j G_nj² + G_nc²)] dx."""
     Q, N, dim = dref.shape
-    E = conn_u.shape[-1]
     g = jnp.einsum("qnm,qmdE->qndE", dref, jinv)    # physical gradients
     g2 = g * g
     sum_g2 = jnp.sum(g2, axis=2, keepdims=True)
     de = jnp.einsum("qE,qncE->ncE", jxw, (lam + mu) * g2 + mu * sum_g2)
-    return scatter_add(de.reshape(N * dim, E), conn_u, n_udofs)
+    de = jnp.broadcast_to(de.reshape(N * dim, -1), conn_u.shape)
+    return scatter_add(de, conn_u, n_udofs)
 
 
 # --------------------------------------------------------------------------

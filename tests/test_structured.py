@@ -1,0 +1,125 @@
+"""Structured fast path vs generic path: identical operators up to the node
+renumbering, identical physics end-to-end."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from poroelasticity_dealii_tpu.config import read_input_file
+from poroelasticity_dealii_tpu.mesh import hyper_rectangle
+from poroelasticity_dealii_tpu.solvers import (FixedStressSolver,
+                                               build_discretization)
+from poroelasticity_dealii_tpu.solvers.structured import \
+    build_grid_discretization
+
+GOLDEN = "configs/golden_2d.data"
+
+
+def _perm(space_from, space_to):
+    """index array P with coords_to[P[i]] == coords_from[i]."""
+    scale = max(1.0, np.abs(space_to.node_coords).max())
+    key = lambda c: tuple(np.round(c / scale, 10))  # noqa: E731
+    lookup = {key(c): i for i, c in enumerate(space_to.node_coords)}
+    return np.array([lookup[key(c)] for c in space_from.node_coords])
+
+
+def _setup(dim):
+    data = read_input_file(GOLDEN)
+    if dim == 3:
+        data = dataclasses.replace(
+            data, dim=3, domain_size=(6.0, 6.0, 6.0),
+            displacement_boundary_labels=(0, 1, 2, 3, 4, 5),
+            displacement_boundary_components=(0, 0, 1, 1, 2, 2),
+            displacement_boundary_values=(0, -1e-5, 0, -1e-5, 0, -1e-5),
+            initial_refinement_level=1)
+    else:
+        data = dataclasses.replace(data, initial_refinement_level=3)
+    n = 2 ** data.initial_refinement_level
+    mesh = hyper_rectangle(data.domain_size[:dim],
+                           data.initial_refinement_level)
+    disc_g = build_discretization(mesh, data)
+    disc_s = build_grid_discretization(data, cells_per_axis=n)
+    return data, disc_g, disc_s
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_operators_match_generic(dim):
+    data, dg, ds = _setup(dim)
+    perm_p = _perm(ds.pressure_space, dg.pressure_space)
+    perm_u = _perm(ds.displacement_space, dg.displacement_space)
+    rng = np.random.default_rng(0)
+
+    # scalar fields: value at a node is a function of its coordinates
+    f = rng.standard_normal(ds.n_pdofs)
+    p_s = jnp.asarray(f)
+    p_g = jnp.asarray(np.empty_like(f))
+    p_g = jnp.asarray(np.zeros(dg.n_pdofs).copy())
+    tmp = np.zeros(dg.n_pdofs)
+    tmp[perm_p] = f
+    p_g = jnp.asarray(tmp)
+
+    np.testing.assert_allclose(np.asarray(ds.mass(p_s)),
+                               np.asarray(dg.mass(p_g))[perm_p], rtol=1e-11,
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(ds.laplace(p_s)),
+                               np.asarray(dg.laplace(p_g))[perm_p],
+                               rtol=1e-11, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ds.diag_mass),
+                               np.asarray(dg.diag_mass)[perm_p], rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(ds.diag_laplace),
+                               np.asarray(dg.diag_laplace)[perm_p],
+                               rtol=1e-11)
+
+    # vector field on displacement dofs
+    fu = rng.standard_normal(ds.n_udofs)
+    u_s = jnp.asarray(fu)
+    tmp = np.zeros(dg.n_udofs)
+    fu2 = fu.reshape(-1, dim)
+    tmp2 = tmp.reshape(-1, dim)
+    tmp2[perm_u] = fu2
+    u_g = jnp.asarray(tmp2.reshape(-1))
+    perm_ud = (perm_u[:, None] * dim + np.arange(dim)).reshape(-1)
+
+    ref = np.asarray(dg.elasticity(u_g))[perm_ud]
+    got = np.asarray(ds.elasticity(u_s))
+    np.testing.assert_allclose(got, ref, rtol=1e-10,
+                               atol=1e-8 * np.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(ds.diag_elasticity),
+                               np.asarray(dg.diag_elasticity)[perm_ud],
+                               rtol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(ds.coupling_rhs(p_s, data.biot_coef)),
+        np.asarray(dg.coupling_rhs(p_g, data.biot_coef))[perm_ud],
+        rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(ds.strain_projection_rhs(u_s)),
+        np.asarray(dg.strain_projection_rhs(u_g))[:, perm_p],
+        rtol=1e-10, atol=1e-12)
+    # boundary machinery permutes identically
+    np.testing.assert_allclose(np.asarray(ds.free_mask_u),
+                               np.asarray(dg.free_mask_u)[perm_ud])
+    np.testing.assert_allclose(np.asarray(ds.dirichlet_values),
+                               np.asarray(dg.dirichlet_values)[perm_ud])
+    np.testing.assert_allclose(np.asarray(ds.f_well),
+                               np.asarray(dg.f_well)[perm_p], rtol=1e-12,
+                               atol=1e-20)
+
+
+def test_full_time_step_matches_generic_2d():
+    data, dg, ds = _setup(2)
+    perm_p = _perm(ds.pressure_space, dg.pressure_space)
+    sg = FixedStressSolver(dg, data)
+    ss = FixedStressSolver(ds, data)
+    stg = sg.initial_state()
+    sts = ss.initial_state()
+    np.testing.assert_allclose(np.asarray(sts.eps_v),
+                               np.asarray(stg.eps_v)[perm_p], rtol=1e-6)
+    ag, tg = sg.time_step(stg, data.time_step)
+    as_, ts = ss.time_step(sts, data.time_step)
+    assert int(tg.fss_iterations) == int(ts.fss_iterations)
+    assert int(tg.pressure_iterations) == int(ts.pressure_iterations)
+    np.testing.assert_allclose(np.asarray(as_.p),
+                               np.asarray(ag.p)[perm_p], rtol=1e-9)
