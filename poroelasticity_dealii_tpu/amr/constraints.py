@@ -1,0 +1,196 @@
+"""Hanging-node constraints for Q1 / Q2 spaces on a 1-irregular quadtree.
+
+The deal.II ``DoFTools::make_hanging_node_constraints`` analogue
+(``PoroElasticPressureSolver.h:75``, ``PoroElasticDisplacementSolver.h:113``)
+as precomputed index/weight tables applied matrix-free:
+
+* ``distribute``: hanging values := interpolation of their masters (the
+  ``ConstraintMatrix::distribute`` of the reference),
+* ``condense_vec``: add hanging-row contributions to master rows and zero
+  them (``condense`` on vectors / the RHS effect of
+  ``distribute_local_to_global``),
+* ``constrained(apply)``: C^T A C + identity-on-hanging wrapper keeping the
+  operator SPD on the master subspace.
+
+2D only (the reference's AMR runs are 2D; 3D face constraints are future
+work)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..mesh.core import FESpace
+from .forest import QuadForest
+
+# 1D quadratic Lagrange values at 1/4 and 3/4 of the coarse edge
+_Q2_W_QUARTER = (0.375, 0.75, -0.125)    # (v0, m, v1) at x = 1/4
+
+
+@dataclasses.dataclass(frozen=True)
+class HangingConstraints:
+    """Index tables; empty (H=0) means no-op."""
+    hanging: jnp.ndarray    # (H,) constrained dof ids
+    masters: jnp.ndarray    # (H, W) master dof ids (padded with hanging id)
+    weights: jnp.ndarray    # (H, W) weights (padded with 0)
+
+    @property
+    def empty(self) -> bool:
+        return int(self.hanging.shape[0]) == 0
+
+    def distribute(self, x):
+        if self.empty:
+            return x
+        vals = jnp.sum(self.weights * x[self.masters], axis=1)
+        return x.at[self.hanging].set(vals)
+
+    def condense_vec(self, r):
+        if self.empty:
+            return r
+        contrib = self.weights * r[self.hanging][:, None]
+        r = r.at[self.masters.reshape(-1)].add(contrib.reshape(-1))
+        return r.at[self.hanging].set(0.0)
+
+    def zero_hanging(self, x):
+        """Zero the hanging entries (correct warm start for the constrained
+        solve, whose identity block drives them to zero)."""
+        if self.empty:
+            return x
+        return x.at[self.hanging].set(0.0)
+
+    def constrained(self, apply_fn):
+        """SPD operator on the master subspace: hanging rows/cols eliminated
+        (C^T A C) with identity on the hanging block."""
+        if self.empty:
+            return apply_fn
+        def apply(x):
+            xh = x[self.hanging]
+            y = self.condense_vec(apply_fn(self.distribute(x)))
+            return y.at[self.hanging].set(xh)
+        return apply
+
+
+def empty_constraints(dtype) -> HangingConstraints:
+    return HangingConstraints(
+        hanging=jnp.zeros((0,), jnp.int32),
+        masters=jnp.zeros((0, 1), jnp.int32),
+        weights=jnp.zeros((0, 1), dtype))
+
+
+def _edge_midnode_map(space: FESpace) -> Dict[Tuple[int, int], int]:
+    """(sorted corner-vertex pair) -> Q2 edge midnode id, from cell data.
+    Local Q2 lattice (3x3, x fastest): edges (corners, midnode):
+    bottom (0,2)->1, top (6,8)->7, left (0,6)->3, right (2,8)->5."""
+    cn = space.cell_nodes
+    out: Dict[Tuple[int, int], int] = {}
+    for (c0, c1, m) in ((0, 2, 1), (6, 8, 7), (0, 6, 3), (2, 8, 5)):
+        a = cn[:, c0].astype(np.int64)
+        b = cn[:, c1].astype(np.int64)
+        mm = cn[:, m]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        for k in range(len(a)):
+            out[(int(lo[k]), int(hi[k]))] = int(mm[k])
+    return out
+
+
+def build_hanging_constraints(forest: QuadForest, mesh, p_space: FESpace,
+                              u_space: FESpace, dtype):
+    """Returns ``(pressure HangingConstraints, displacement (dof-level)
+    HangingConstraints)``."""
+    if mesh.dim != 2:
+        raise NotImplementedError("hanging constraints are 2D-only")
+    records, leaves = forest.interior_faces()
+    R = 2 ** forest.max_level
+
+    # integer vertex coordinate -> vertex id
+    sz = forest.upper - forest.lower
+    iv = np.round((mesh.vertices - forest.lower) / sz * R).astype(np.int64)
+    vid = {(int(x), int(y)): i for i, (x, y) in enumerate(iv)}
+
+    # unique hanging coarse edges from coarse-fine records
+    coarse_edges = set()
+    for rec in records:
+        a, b, axis, line, lo, span = rec
+        la, lb = leaves[a][0], leaves[b][0]
+        if la == lb:
+            continue
+        span2 = 2 * span
+        LO = lo - (lo % span2)
+        coarse_edges.add((axis, line, LO, span2))
+
+    mid_u = _edge_midnode_map(u_space) if u_space.degree == 2 else {}
+    dim = mesh.dim
+
+    p_rows = []   # (hanging_node, [(master, w), ...])
+    u_rows = []   # node-level; expanded to dofs below
+    for (axis, line, LO, span2) in sorted(coarse_edges):
+        t = 1 - axis
+        def pt(s):
+            c = [0, 0]
+            c[axis] = line
+            c[t] = s
+            return (c[0], c[1])
+        v0 = vid[pt(LO)]
+        v1 = vid[pt(LO + span2)]
+        h = vid[pt(LO + span2 // 2)]
+        # Q1 pressure: h = (v0 + v1)/2
+        p_rows.append((h, [(v0, 0.5), (v1, 0.5)]))
+        if u_space.degree == 2:
+            m = mid_u[tuple(sorted((v0, v1)))]
+            m0 = mid_u[tuple(sorted((v0, h)))]
+            m1 = mid_u[tuple(sorted((h, v1)))]
+            w0, wm, w1 = _Q2_W_QUARTER
+            u_rows.append((h, [(m, 1.0)]))
+            u_rows.append((m0, [(v0, w0), (m, wm), (v1, w1)]))
+            u_rows.append((m1, [(v0, w1), (m, wm), (v1, w0)]))
+        else:
+            u_rows.append((h, [(v0, 0.5), (v1, 0.5)]))
+
+    def resolve_chains(rows):
+        """Substitute masters that are themselves hanging (deal.II's
+        ConstraintMatrix::close): possible at refinement-pattern corners."""
+        table = {node: ms for node, ms in rows}
+        out = []
+        for node, ms in rows:
+            for _ in range(8):  # chains are short; bound defensively
+                if not any(mn in table for mn, _ in ms):
+                    break
+                new = {}
+                for mn, w in ms:
+                    if mn in table:
+                        for mn2, w2 in table[mn]:
+                            new[mn2] = new.get(mn2, 0.0) + w * w2
+                    else:
+                        new[mn] = new.get(mn, 0.0) + w
+                ms = list(new.items())
+            out.append((node, ms))
+        return out
+
+    def pack(rows, n_comp):
+        rows = resolve_chains(rows)
+        if not rows:
+            return empty_constraints(dtype)
+        W = max(len(ms) for _, ms in rows)
+        H = len(rows) * n_comp
+        hang = np.zeros(H, np.int32)
+        mast = np.zeros((H, W), np.int64)
+        wts = np.zeros((H, W))
+        r = 0
+        for node, ms in rows:
+            for c in range(n_comp):
+                hang[r] = node * n_comp + c
+                mast[r, :] = node * n_comp + c        # pad with self, w=0
+                for j, (mn, w) in enumerate(ms):
+                    mast[r, j] = mn * n_comp + c
+                    wts[r, j] = w
+                r += 1
+        return HangingConstraints(hanging=jnp.asarray(hang),
+                                  masters=jnp.asarray(mast.astype(np.int32)),
+                                  weights=jnp.asarray(wts, dtype=dtype))
+
+    return pack(p_rows, 1), pack(u_rows, dim)

@@ -1,0 +1,120 @@
+"""AMR discretization builder + adaptive simulation runner.
+
+Ties the pieces together the way the reference's ``refine_mesh`` +
+``setup_dofs`` + ``SolutionTransfer`` flow does
+(``PoroelasticityFSS.h:333-340, 448-498``): every ``refine_every``-th step,
+estimate -> mark -> remesh -> rebuild discretization (with hanging-node
+constraints) -> transfer {p, eps_v, eps_v0} -> recompile and continue.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import InputData
+from ..solvers import FixedStressSolver, build_discretization
+from ..solvers.fss import State
+from ..ops.operators import VOIGT_PAIRS
+from .constraints import build_hanging_constraints
+from .forest import QuadForest
+from .kelly import fixed_fraction_marks, kelly_estimate
+from .transfer import transfer_nodal
+
+
+def build_amr_discretization(forest: QuadForest, data: InputData):
+    """Generic-path discretization of the forest's mesh, with hanging-node
+    constraints installed and preconditioner diagonals fixed up."""
+    mesh = forest.to_mesh()
+    disc = build_discretization(mesh, data)
+    hc_p, hc_u = build_hanging_constraints(
+        forest, mesh, disc.pressure_space, disc.displacement_space,
+        disc.dtype)
+    disc.hc_p, disc.hc_u = hc_p, hc_u
+    one = jnp.ones((), disc.dtype)
+    if not hc_p.empty:
+        disc.diag_mass = disc.diag_mass.at[hc_p.hanging].set(one)
+        disc.diag_laplace = disc.diag_laplace.at[hc_p.hanging].set(one)
+    if not hc_u.empty:
+        disc.diag_elasticity = disc.diag_elasticity.at[hc_u.hanging].set(one)
+    return disc
+
+
+class AMRSimulationRunner:
+    """Host-side adaptive time loop (2D).
+
+    The reference refines every 5th step between the initial level and
+    initial + max levels with fixed error fractions 0.6 / 0.4
+    (``PoroelasticityFSS.h:333-340, 460-462``).
+    """
+
+    def __init__(self, data: InputData, logger=None):
+        if data.dim != 2:
+            raise NotImplementedError("AMR is 2D (like the reference's runs)")
+        self.data = data
+        size = np.asarray(data.domain_size[:2], float)
+        self.forest = QuadForest.uniform(-size / 2, size / 2,
+                                         data.initial_refinement_level)
+        self.logger = logger
+        self._rebuild()
+
+    def _rebuild(self):
+        self.disc = build_amr_discretization(self.forest, self.data)
+        self.solver = FixedStressSolver(self.disc, self.data)
+
+    def _remesh(self, state: State) -> State:
+        data = self.data
+        mesh_old = self.disc.pressure_space.mesh
+        forest_old = QuadForest(self.forest.lower, self.forest.upper,
+                                set(self.forest.leaves))
+        eta = kelly_estimate(self.forest, mesh_old, np.asarray(state.p))
+        refine, coarsen = fixed_fraction_marks(
+            self.forest, eta, 0.6, 0.4,
+            min_level=data.initial_refinement_level,
+            max_level=data.initial_refinement_level
+            + data.max_refinement_level)
+        self.forest.refine_and_coarsen(refine, coarsen)
+        self._rebuild()
+
+        new_pts = self.disc.pressure_space.node_coords
+        fields = np.stack([np.asarray(state.p), np.asarray(state.eps_v),
+                           np.asarray(state.eps_v0)])
+        moved = transfer_nodal(forest_old, mesh_old, fields, new_pts)
+        dt = self.disc.dtype
+        n_voigt = len(VOIGT_PAIRS[2])
+        return State(
+            p=jnp.asarray(moved[0], dt),
+            u=jnp.zeros((self.disc.n_udofs,), dt),
+            eps_v=jnp.asarray(moved[1], dt),
+            eps_v0=jnp.asarray(moved[2], dt),
+            strains=jnp.zeros((n_voigt, self.disc.n_pdofs), dt))
+
+    def run(self, n_steps: Optional[int] = None):
+        data = self.data
+        state = self.solver.initial_state()
+        t, step = 0.0, 0
+        history = []
+        total = n_steps if n_steps is not None else int(
+            np.ceil(data.t_max / data.time_step))
+        while (t < data.t_max) and (n_steps is None or step < n_steps):
+            t += data.time_step
+            step += 1
+            if data.refine_every and step % data.refine_every == 0:
+                state = self._remesh(state)
+            t0 = time.perf_counter()
+            state, stats = self.solver.time_step(state, data.time_step)
+            state.p.block_until_ready()
+            wall = time.perf_counter() - t0
+            history.append({
+                "step": step, "time": t, "n_cells": self.disc.n_cells,
+                "n_pdofs": self.disc.n_pdofs,
+                "fss": int(stats.fss_iterations),
+                "err": float(stats.pressure_error), "wall_s": wall})
+            if self.logger:
+                self.logger.log_step(step, t, stats, wall,
+                                     extra={"n_cells": self.disc.n_cells})
+        return state, history

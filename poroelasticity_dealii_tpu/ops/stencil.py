@@ -1,0 +1,123 @@
+"""Operator applies as XLA convolutions (uniform structured grids).
+
+On a uniform grid every cell has the same element matrix, so each FEM
+operator is translation-invariant and factorizes into exactly two convs:
+
+1. **gather∘element-matrix conv** — input: the node grid as channels-first
+   image ``(1, n_comp, g, ..)``; kernel: the dense per-cell element matrix
+   reshaped to ``(n_local_dofs_out, n_comp, (k+1)^dim window)``, stride k,
+   VALID.  Output ``(1, N_out, n, ..)``: per-cell local contributions.
+2. **one-hot scatter conv** — transposed placement of local contributions
+   back onto the node grid: ``lhs_dilation = k`` with a one-hot kernel.
+
+This is the whole matrix-free apply: ~2·Ndof² FLOPs of dense conv work that
+the MXU eats at near-peak, a few ops of HLO (seconds to compile instead of
+minutes for slice/pad chains), and zero gather/scatter instructions.  The
+element matrices are computed once on the host from the same definitions the
+dense test oracle uses (ops/dense.py), so the conv path is verified against
+the generic path bit-for-bit (tests/test_stencil.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.shape import node_lattice
+
+_DIMNUMS = {
+    2: ("NCHW", "OIHW", "NCHW"),
+    3: ("NCDHW", "OIDHW", "NCDHW"),
+}
+
+
+def _to_kernel(element_matrix: np.ndarray, n_comp_in: int, k: int, dim: int):
+    """Element matrix (N_out, N_in_nodes * n_comp_in) -> conv kernel
+    (N_out, n_comp_in, (k+1) spatial ... x-last).
+
+    Local node m = ix + (k+1) iy + (k+1)^2 iz maps to window position
+    [..., iz, iy, ix].
+    """
+    n1 = k + 1
+    n_out = element_matrix.shape[0]
+    n_nodes_in = element_matrix.shape[1] // n_comp_in
+    w = element_matrix.reshape(n_out, n_nodes_in, n_comp_in)
+    # split node index (x fastest) into spatial window axes (z, y, x):
+    # C-order split puts the most significant digit (z) first
+    w = w.reshape(n_out, *([n1] * dim), n_comp_in)
+    w = np.moveaxis(w, -1, 1)                     # (n_out, comp, z, y, x)
+    return w
+
+
+def _scatter_kernel(n_out_comp: int, n_local: int, n_comp: int, k: int,
+                    dim: int):
+    """One-hot kernel placing local dof (node, comp) at grid offset(node):
+    (n_comp out, n_local * n_comp in, window k+1 per axis) with the
+    spatially-flipped one-hot positions ``k - off``."""
+    n1 = k + 1
+    lat = node_lattice(k, dim)                    # (n_nodes, dim) x-first
+    w = np.zeros((n_comp, n_local * n_comp, *([n1] * dim)))
+    n_nodes = n_local
+    for node in range(n_nodes):
+        pos = [k - int(lat[node, d]) for d in range(dim)]  # x, y, z flips
+        for c in range(n_comp):
+            w[(c, node * n_comp + c, *pos[::-1])] = 1.0    # index z, y, x
+    return w
+
+
+def conv_cellwise(x, kernel, k: int, dim: int, n_comp: int, g: int,
+                  precision=lax.Precision.HIGHEST):
+    """Node grid -> per-cell local values: stride-k VALID conv.
+
+    x: flat dof vector (g^dim * n_comp,), interleaved comps.
+    Returns (N_out, n^dim) with cells x-fastest.
+    """
+    X = x.reshape(*([g] * dim), n_comp)
+    X = jnp.moveaxis(X, -1, 0)[None]              # (1, comp, z, y, x)
+    out = lax.conv_general_dilated(
+        X, kernel, window_strides=(k,) * dim, padding="VALID",
+        dimension_numbers=_DIMNUMS[dim], precision=precision)
+    n_out = kernel.shape[0]
+    return out[0].reshape(n_out, -1)
+
+
+def conv_scatter(ye, kernel, k: int, dim: int, n_comp: int, n: int,
+                 precision=lax.Precision.HIGHEST):
+    """Per-cell local values (N_local*n_comp, n^dim) -> node grid flat vec."""
+    Y = ye.reshape(1, ye.shape[0], *([n] * dim))
+    out = lax.conv_general_dilated(
+        Y, kernel, window_strides=(1,) * dim,
+        padding=[(k, k)] * dim, lhs_dilation=(k,) * dim,
+        dimension_numbers=_DIMNUMS[dim], precision=precision)
+    # out: (1, n_comp, g, .., g)
+    return jnp.moveaxis(out[0], 0, -1).reshape(-1)
+
+
+def make_stencil_apply(element_matrix: np.ndarray, k_in: int, k_out: int,
+                       n_comp_in: int, n_comp_out: int, dim: int,
+                       n_cells: int, dtype):
+    """Build ``apply(x) -> y`` for one operator.
+
+    ``element_matrix``: (N_out_nodes * n_comp_out, N_in_nodes * n_comp_in)
+    dense per-cell matrix; rows/cols indexed (node * n_comp + comp) with the
+    standard x-fastest local node ordering.  ``k_in``/``k_out`` are the
+    polynomial degrees of the input/output spaces.
+    """
+    g_in = k_in * n_cells + 1
+    wg = jnp.asarray(_to_kernel(element_matrix, n_comp_in, k_in, dim),
+                     dtype=dtype)
+    n_local_out = element_matrix.shape[0] // n_comp_out
+    ws = jnp.asarray(
+        _scatter_kernel(n_comp_out, n_local_out, n_comp_out, k_out, dim),
+        dtype=dtype)
+
+    def apply(x):
+        ye = conv_cellwise(x, wg, k_in, dim, n_comp_in, g_in)
+        return conv_scatter(ye, ws, k_out, dim, n_comp_out, n_cells)
+
+    return apply

@@ -67,6 +67,9 @@ class Discretization:
     # material scalars
     lam: float
     mu: float
+    # hanging-node constraints (AMR meshes only; None = conforming mesh)
+    hc_p: object = None
+    hc_u: object = None
 
     @property
     def n_pdofs(self) -> int:
@@ -92,8 +95,26 @@ class Discretization:
         return ops.apply_elasticity(u, self.conn_u, self.dref_u_at_uq,
                                     self.jinv_u, self.jxw_u, self.lam, self.mu)
 
+    # ---- constraint helpers (no-ops on conforming meshes) ----------------
+    @property
+    def _hcp(self):
+        from ..amr.constraints import empty_constraints
+        if self.hc_p is None:
+            self.hc_p = empty_constraints(self.dtype)
+        return self.hc_p
+
+    @property
+    def _hcu(self):
+        from ..amr.constraints import empty_constraints
+        if self.hc_u is None:
+            self.hc_u = empty_constraints(self.dtype)
+        return self.hc_u
+
     def elasticity_constrained(self, u):
-        return ops.constrained_apply(self.elasticity, self.free_mask_u)(u)
+        """Hanging-node + Dirichlet constrained elasticity operator."""
+        hc = self._hcu
+        return ops.constrained_apply(hc.constrained(self.elasticity),
+                                     self.free_mask_u)(u)
 
     def coupling_rhs(self, p, biot_coef):
         return ops.coupling_rhs(p, self.conn_p, self.conn_u, self.psi_p_at_uq,

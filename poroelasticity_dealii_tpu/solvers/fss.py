@@ -85,13 +85,17 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         acc = (data.biot_coef / dt) * (eps_v - eps_v0) \
             + (1.0 / data.m_modulus / dt) * (p - p_old)
         res = d.mass(acc) + (data.perm / data.visc) * d.laplace(p) + d.f_well
-        return -res * d.free_mask_p
+        # hanging-row condensation (constraints.condense(residual), :153)
+        return d._hcp.condense_vec(-res) * d.free_mask_p
 
     def _pressure_jacobian_apply(self, x, dt):
         d, data = self.disc, self.data
+        def base(z):
+            return (1.0 / data.m_modulus / dt) * d.mass(z) \
+                + (data.perm / data.visc) * d.laplace(z)
+        hat = d._hcp.constrained(base)
         xm = x * d.free_mask_p
-        y = (1.0 / data.m_modulus / dt) * d.mass(xm) \
-            + (data.perm / data.visc) * d.laplace(xm)
+        y = hat(xm)
         return y * d.free_mask_p + x * (1.0 - d.free_mask_p)
 
     def _pressure_jacobian_diag(self, dt):
@@ -112,18 +116,21 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         time-dependent loading (e.g. Mandel's rigid plate) without
         recompiling."""
         d, data = self.disc, self.data
-        rhs = d.coupling_rhs(p, data.biot_coef) + d.f_neumann
+        rhs = d._hcu.condense_vec(
+            d.coupling_rhs(p, data.biot_coef) + d.f_neumann)
         g = d.dirichlet_values * bc_scale
-        b_mod = d.free_mask_u * (rhs - d.elasticity(g)) \
+        k_hat = d._hcu.constrained(d.elasticity)
+        b_mod = d.free_mask_u * (rhs - k_hat(g)) \
             + (1.0 - d.free_mask_u) * g
         apply = d.elasticity_constrained
-        x0 = d.free_mask_u * u_warm + (1.0 - d.free_mask_u) * g
+        x0 = d._hcu.zero_hanging(
+            d.free_mask_u * u_warm + (1.0 - d.free_mask_u) * g)
         tol = jnp.asarray(data.mech_cg_tol, d.dtype)
         if data.mech_cg_relative:
             tol = tol * jnp.linalg.norm(b_mod)
         res = cg_solve(apply, b_mod, x0, d.diag_elasticity,
                        tol=tol, max_iter=data.cg_max_iterations)
-        return res.x, res.iterations
+        return d._hcu.distribute(res.x), res.iterations
 
     # ---------------- strain projection -------------------------------------
 
@@ -133,10 +140,15 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         d = self.disc
         rhs_all = d.strain_projection_rhs(u)          # (n_voigt, n_pdofs)
         rhs = rhs_all[jnp.asarray(entries)]
+        rhs = jax.vmap(d._hcp.condense_vec)(rhs)
         tol = self.data.projection_cg_tol * jnp.linalg.norm(rhs, axis=1)
-        res = cg_solve_batched(d.mass, rhs, warm, d.diag_mass, tol,
+        mass_hat = d._hcp.constrained(d.mass)
+        res = cg_solve_batched(mass_hat, rhs,
+                               jax.vmap(d._hcp.zero_hanging)(warm),
+                               d.diag_mass, tol,
                                self.data.cg_max_iterations)
-        return res.x, jnp.sum(res.iterations).astype(jnp.int32)
+        x = jax.vmap(d._hcp.distribute)(res.x)
+        return x, jnp.sum(res.iterations).astype(jnp.int32)
 
     # ---------------- initialization (PoroelasticityFSS.h:311-317) ----------
 
@@ -194,10 +206,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             def body(c):
                 k, p, eps_v, delta_p, r, err, cg_tot = c
                 res = cg_solve(lambda x: self._pressure_jacobian_apply(x, dt),
-                               r, delta_p, jac_diag,
+                               r, self.disc._hcp.zero_hanging(delta_p),
+                               jac_diag,
                                tol=data.pressure_cg_tol * jnp.linalg.norm(r),
                                max_iter=data.cg_max_iterations)
-                delta_p = res.x
+                delta_p = self.disc._hcp.distribute(res.x)
                 p = p + delta_p
                 eps_v = eps_v + (data.biot_coef / data.bulk_modulus) * delta_p
                 r = self._pressure_residual(p, p_old, eps_v, eps_v0, dt)

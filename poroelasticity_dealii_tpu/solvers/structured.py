@@ -73,12 +73,100 @@ class GridDiscretization(Discretization):
                         in_axes=1, out_axes=0)(ye)
 
 
+@dataclasses.dataclass
+class ConvGridDiscretization(GridDiscretization):
+    """Operator applies as two XLA convolutions each (ops/stencil.py).
+
+    The per-cell dense element matrices (constant on a uniform grid) are
+    folded into the gather conv kernels at build time.
+    """
+
+    stencil_mass: object = None
+    stencil_laplace: object = None
+    stencil_elasticity: object = None
+    stencil_coupling: object = None
+    stencil_projection: object = None
+
+    def mass(self, p):
+        return self.stencil_mass(p)
+
+    def laplace(self, p):
+        return self.stencil_laplace(p)
+
+    def elasticity(self, u):
+        return self.stencil_elasticity(u)
+
+    def coupling_rhs(self, p, biot_coef):
+        # biot_coef is folded into the kernel at build time (constant)
+        return self.stencil_coupling(p)
+
+    def strain_projection_rhs(self, u):
+        return self.stencil_projection(u)
+
+
+def _single_cell_spaces(data: InputData, cells_per_axis: int,
+                        pressure_degree: int, displacement_degree: int):
+    """1-cell mesh with the uniform grid's cell size, for element matrices."""
+    from ..mesh.generator import hyper_rectangle
+    from ..mesh.qk import build_fe_space
+    dim = data.dim
+    h = [data.domain_size[d] / cells_per_axis for d in range(dim)]
+    cell_mesh = hyper_rectangle(h, cells_per_axis=1)
+    sp1 = build_fe_space(cell_mesh, pressure_degree)
+    su1 = build_fe_space(cell_mesh, displacement_degree)
+    return cell_mesh, sp1, su1
+
+
+def _coupling_element_matrix(cell_mesh, su1, sp1, biot_coef):
+    """C_e[(n,i), m] = b ∫ psi_m d phi_n/d x_i dx on the single cell."""
+    from ..ops.geometry import geometry_factors
+    dim = cell_mesh.dim
+    pts, wts = gauss_tensor(su1.degree + 1, dim)
+    jinv, jxw = geometry_factors(cell_mesh.vertices[cell_mesh.cells],
+                                 pts, wts)
+    jinv, jxw = np.asarray(jinv)[0], np.asarray(jxw)[0]   # (Q,m,d), (Q,)
+    _, dref_u = shape_tables(su1.degree, dim, pts)
+    psi_p, _ = shape_tables(sp1.degree, dim, pts)
+    g = np.einsum("qnm,qmd->qnd", dref_u, jinv)           # phys grads
+    ce = biot_coef * np.einsum("q,qm,qnd->ndm", jxw, psi_p, g)
+    N = dref_u.shape[1]
+    return ce.reshape(N * dim, psi_p.shape[1])
+
+
+def _projection_element_matrix(cell_mesh, su1, sp1):
+    """P_e[(i_p * C + c), (m, j)] = ∫ psi_i eps_c(phi_mj) dx."""
+    from ..ops.geometry import geometry_factors
+    from ..ops.operators import VOIGT_PAIRS
+    dim = cell_mesh.dim
+    pts, wts = gauss_tensor(sp1.degree + 1, dim)
+    jinv, jxw = geometry_factors(cell_mesh.vertices[cell_mesh.cells],
+                                 pts, wts)
+    jinv, jxw = np.asarray(jinv)[0], np.asarray(jxw)[0]
+    _, dref_u = shape_tables(su1.degree, dim, pts)
+    psi_p, _ = shape_tables(sp1.degree, dim, pts)
+    g = np.einsum("qnm,qmd->qnd", dref_u, jinv)
+    pairs = VOIGT_PAIRS[dim]
+    Np = psi_p.shape[1]
+    Nu = dref_u.shape[1]
+    C = len(pairs)
+    P = np.zeros((Np * C, Nu * dim))
+    for c, (a, b) in enumerate(pairs):
+        # eps_c(phi_mj) = 0.5 (delta_ja G[m,b] + delta_jb G[m,a])
+        B = np.zeros((len(wts), Nu, dim))
+        B[:, :, a] += 0.5 * g[:, :, b]
+        B[:, :, b] += 0.5 * g[:, :, a]
+        blk = np.einsum("q,qi,qmj->imj", jxw, psi_p, B).reshape(Np, Nu * dim)
+        P[c::C, :] = blk  # row (i*C + c)
+    return P
+
+
 def build_grid_discretization(data: InputData,
                               cells_per_axis: Optional[int] = None,
                               pressure_degree: int = 1,
                               displacement_degree: int = 2,
                               dtype=None,
-                              lower=None, upper=None) -> GridDiscretization:
+                              lower=None, upper=None,
+                              backend: str = "conv") -> GridDiscretization:
     dim = data.dim
     if cells_per_axis is None:
         cells_per_axis = 2 ** data.initial_refinement_level
@@ -149,5 +237,39 @@ def build_grid_discretization(data: InputData,
     diag_el = ops.elasticity_diagonal(d.conn_u, d.dref_u_at_uq, d.jinv_u,
                                       d.jxw_u, lam, mu, d.n_udofs)
     diag_el = jnp.where(d.free_mask_u > 0, diag_el, jnp.ones((), dtype))
-    return dataclasses.replace(d, diag_mass=diag_mass, diag_laplace=diag_lap,
-                               diag_elasticity=diag_el)
+    d = dataclasses.replace(d, diag_mass=diag_mass, diag_laplace=diag_lap,
+                            diag_elasticity=diag_el)
+    if backend != "conv":
+        return d
+
+    # ---- conv-stencil backend: fold element matrices into conv kernels ----
+    from ..ops import dense, stencil
+    from ..ops.operators import VOIGT_PAIRS
+    cell_mesh, sp1, su1 = _single_cell_spaces(data, cells_per_axis,
+                                              pressure_degree,
+                                              displacement_degree)
+    Me = dense.mass_element_matrices(sp1)[0]
+    Le = dense.laplace_element_matrices(sp1)[0]
+    Ke = dense.elasticity_element_matrices(su1, lam, mu)[0]
+    Ce = _coupling_element_matrix(cell_mesh, su1, sp1, data.biot_coef)
+    Pe = _projection_element_matrix(cell_mesh, su1, sp1)
+    C = len(VOIGT_PAIRS[dim])
+    n = cells_per_axis
+    kp, ku = pressure_degree, displacement_degree
+
+    mk = lambda M, kin, kout, ci, co: stencil.make_stencil_apply(  # noqa: E731
+        np.asarray(M, np.float64), kin, kout, ci, co, dim, n, dtype)
+    st_mass = mk(Me, kp, kp, 1, 1)
+    st_lap = mk(Le, kp, kp, 1, 1)
+    st_el = mk(Ke, ku, ku, dim, dim)
+    st_cp = mk(Ce, kp, ku, 1, dim)
+    proj_raw = mk(Pe, ku, kp, dim, C)
+
+    def st_proj(u):
+        return proj_raw(u).reshape(-1, C).T     # (C, n_pdofs)
+
+    fields = {f.name: getattr(d, f.name) for f in dataclasses.fields(d)}
+    return ConvGridDiscretization(
+        **fields, stencil_mass=st_mass, stencil_laplace=st_lap,
+        stencil_elasticity=st_el, stencil_coupling=st_cp,
+        stencil_projection=st_proj)
