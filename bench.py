@@ -34,6 +34,12 @@ def build(platform=None, cells=CELLS_PER_AXIS):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
+    try:  # persistent compile cache: the 3D conv kernels compile slowly cold
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(HERE, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     from poroelasticity_dealii_tpu.config import read_input_file
     from poroelasticity_dealii_tpu.solvers import FixedStressSolver
     from poroelasticity_dealii_tpu.solvers.structured import \

@@ -51,28 +51,17 @@ def _parse_sections(text: str):
     return sections
 
 
-def read_msh(path_or_text: str, dim: int | None = None) -> Mesh:
-    """Read a gmsh 2.2 ASCII mesh file (path or raw text)."""
-    if "\n" in path_or_text or "$MeshFormat" in path_or_text:
-        text = path_or_text
-    else:
-        with open(path_or_text) as fh:
-            text = fh.read()
+def _parse_python(text: str):
+    """Pure-Python gmsh 2.2 parse -> (node_ids, coords3, element lists)."""
     sec = _parse_sections(text)
     if "MeshFormat" not in sec or not sec["MeshFormat"][0].startswith("2.2"):
         raise ValueError("only gmsh 2.2 ASCII format is supported")
-
-    # --- nodes ---------------------------------------------------------------
     node_lines = sec["Nodes"]
     n_nodes = int(node_lines[0])
     raw = np.array([ln.split() for ln in node_lines[1:1 + n_nodes]],
                    dtype=np.float64)
     node_ids = raw[:, 0].astype(np.int64)
     coords3 = raw[:, 1:4]
-    id_to_idx = np.full(node_ids.max() + 1, -1, dtype=np.int64)
-    id_to_idx[node_ids] = np.arange(n_nodes)
-
-    # --- elements ------------------------------------------------------------
     elem_lines = sec["Elements"]
     n_elems = int(elem_lines[0])
     quads, hexes, lines_ = [], [], []
@@ -92,6 +81,57 @@ def read_msh(path_or_text: str, dim: int | None = None) -> Mesh:
         else:
             raise ValueError(f"unsupported gmsh element type {etype} "
                              "(only quads/hexes + boundary lines/quads)")
+    return node_ids, coords3, quads, hexes, lines_
+
+
+def _parse_native(path: str):
+    """Native-parser fast path; None if the library is unavailable."""
+    from ..utils.native import parse_msh_native
+    raw = parse_msh_native(path)
+    if raw is None:
+        return None
+    node_ids, coords3, etypes, etag0, conn, offsets = raw
+    quads, hexes, lines_ = [], [], []
+    for e in range(len(etypes)):
+        nodes = conn[offsets[e]:offsets[e + 1]].tolist()
+        tags = [int(etag0[e])]
+        t = etypes[e]
+        if t == _GMSH_QUAD:
+            quads.append((nodes, tags))
+        elif t == _GMSH_HEX:
+            hexes.append((nodes, tags))
+        elif t == _GMSH_LINE:
+            lines_.append((nodes, tags))
+        elif t == _GMSH_POINT:
+            continue
+        else:
+            raise ValueError(f"unsupported gmsh element type {t}")
+    return node_ids, coords3, quads, hexes, lines_
+
+
+def read_msh(path_or_text: str, dim: int | None = None) -> Mesh:
+    """Read a gmsh 2.2 ASCII mesh (path or raw text).
+
+    Uses the native C++ parser (utils/native.py) when available for file
+    paths; falls back to the pure-Python parser.
+    """
+    parsed = None
+    if not ("\n" in path_or_text or "$MeshFormat" in path_or_text):
+        try:
+            parsed = _parse_native(path_or_text)
+        except ValueError:
+            raise
+        except Exception:
+            parsed = None
+        if parsed is None:
+            with open(path_or_text) as fh:
+                path_or_text = fh.read()
+    if parsed is None:
+        parsed = _parse_python(path_or_text)
+    node_ids, coords3, quads, hexes, lines_ = parsed
+    n_nodes = len(node_ids)
+    id_to_idx = np.full(node_ids.max() + 1, -1, dtype=np.int64)
+    id_to_idx[node_ids] = np.arange(n_nodes)
     inferred_dim = 3 if hexes else 2
     if dim is None:
         dim = inferred_dim

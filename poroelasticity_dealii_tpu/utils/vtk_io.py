@@ -57,6 +57,23 @@ def write_vtk(path: str, pressure_space: FESpace, u_at_pnodes: np.ndarray,
     conn = conn[:, _LEX_TO_VTK[dim]]
     n_cells, n_per = conn.shape
 
+    # native fast path (utils/native.py); falls back to Python below
+    from .native import write_vtk_native
+    names = _COMP_NAMES[dim]
+    n_voigt = len(VOIGT_PAIRS[dim])
+    scalar_names = (["p"] + [f"eps_{names[c]}" for c in range(n_voigt)]
+                    + [f"sigma_{names[c]}" for c in range(n_voigt)])
+    scalars = np.concatenate([np.asarray(p)[None],
+                              np.asarray(strains),
+                              np.asarray(stresses)], axis=0)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        if write_vtk_native(path, xyz, conn, _VTK_CELL_TYPE[dim], u3,
+                            scalar_names, scalars):
+            return
+    except Exception:
+        pass
+
     lines = ["# vtk DataFile Version 3.0",
              "poroelasticity_dealii_tpu output", "ASCII",
              "DATASET UNSTRUCTURED_GRID",
