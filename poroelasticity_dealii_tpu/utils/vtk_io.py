@@ -105,6 +105,18 @@ def write_vtk(path: str, pressure_space: FESpace, u_at_pnodes: np.ndarray,
         fh.write("\n".join(lines) + "\n")
 
 
+def _is_grid_lexicographic(space: FESpace, g: int) -> bool:
+    """Cheap check that node numbering is grid-lexicographic (x fastest)."""
+    dim = space.mesh.dim
+    c = space.node_coords
+    if len(c) < 2:
+        return False
+    # consecutive nodes along x except at row wraps
+    dx = c[1] - c[0]
+    return bool(abs(dx[0]) > 0 and np.allclose(dx[1:], 0.0)
+                and np.allclose(c[g - 1][0], c[:g, 0].max()))
+
+
 def _corner_locals(space: FESpace):
     """Local node indices of the cell corners in a Q_k space (lattice
     extremes), lexicographic corner order."""
@@ -126,10 +138,30 @@ def displacement_at_pressure_nodes(pressure_space: FESpace,
     """Sample the (vector, interleaved) displacement at pressure nodes.
 
     For Q2 displacement / Q1 pressure on the same mesh, every pressure node
-    is geometrically a displacement node; match them by coordinates.
-    """
+    is geometrically a displacement node; match them by coordinates (or by
+    index arithmetic on structured grids)."""
     dim = pressure_space.mesh.dim
     u = np.asarray(u).reshape(-1, dim)
+    # structured grids: pure index arithmetic, no coordinate hashing
+    kp, ku = pressure_space.degree, displacement_space.degree
+    gp = round(pressure_space.n_nodes ** (1.0 / dim))
+    gu = round(displacement_space.n_nodes ** (1.0 / dim))
+    if (gp ** dim == pressure_space.n_nodes
+            and gu ** dim == displacement_space.n_nodes
+            and (gp - 1) * ku == (gu - 1) * kp
+            and _is_grid_lexicographic(pressure_space, gp)
+            and _is_grid_lexicographic(displacement_space, gu)):
+        step = ku // kp if ku % kp == 0 else None
+        if step:
+            idx1 = np.arange(gp) * step
+            grids = np.meshgrid(*([idx1] * dim), indexing="ij")
+            flat = np.zeros_like(grids[0])
+            stride = 1
+            # x fastest: coordinate d uses the (dim-1-d)-th meshgrid axis
+            for d in range(dim):
+                flat = flat + grids[dim - 1 - d] * stride
+                stride *= gu
+            return u[flat.reshape(-1)]
     # round-keyed coordinate lookup
     scale = max(1.0, np.abs(displacement_space.node_coords).max())
     key = lambda c: tuple(np.round(c / scale, 12))  # noqa: E731
