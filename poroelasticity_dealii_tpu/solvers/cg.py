@@ -32,8 +32,9 @@ class CGResult(NamedTuple):
 
 
 def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
-             diag: jnp.ndarray, tol: jnp.ndarray, max_iter: int) -> CGResult:
-    """Solve ``A x = b`` with Jacobi-preconditioned CG.
+             diag: jnp.ndarray = None, tol: jnp.ndarray = 0.0,
+             max_iter: int = 1000, precond: Callable = None) -> CGResult:
+    """Solve ``A x = b`` with preconditioned CG.
 
     Args:
       apply_a: SPD operator ``x -> A x`` (matrix-free).
@@ -41,15 +42,20 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
       x0: initial guess (the reference warm-starts from the previous
         solution — deal.II ``cg.solve`` uses the solution vector's incoming
         content as the start vector).
-      diag: operator diagonal (Jacobi preconditioner).
+      diag: operator diagonal (Jacobi preconditioner), used when
+        ``precond`` is None.
       tol: *absolute* residual L2 tolerance — callers pass
         ``1e-8 * ||b||`` / ``1e-12`` etc. to match SolverControl semantics.
       max_iter: iteration cap (reference uses 1000).
+      precond: optional SPD fixed linear operator ``r -> M^{-1} r``
+        (e.g. a multigrid V-cycle); overrides ``diag``.
     """
-    inv_diag = 1.0 / diag
+    if precond is None:
+        inv_diag = 1.0 / diag
+        precond = lambda r: r * inv_diag  # noqa: E731
 
     r0 = b - apply_a(x0)
-    z0 = r0 * inv_diag
+    z0 = precond(r0)
     rz0 = jnp.vdot(r0, z0)
     rnorm0 = jnp.linalg.norm(r0)
 
@@ -63,7 +69,7 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         alpha = rz / jnp.vdot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        z = r * inv_diag
+        z = precond(r)
         rz_new = jnp.vdot(r, z)
         p = z + (rz_new / rz) * p
         return (k + 1, x, r, p, rz_new, jnp.linalg.norm(r))

@@ -128,8 +128,10 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         tol = jnp.asarray(data.mech_cg_tol, d.dtype)
         if data.mech_cg_relative:
             tol = tol * jnp.linalg.norm(b_mod)
+        precond = getattr(d, "gmg_precond", None)  # multigrid when available
         res = cg_solve(apply, b_mod, x0, d.diag_elasticity,
-                       tol=tol, max_iter=data.cg_max_iterations)
+                       tol=tol, max_iter=data.cg_max_iterations,
+                       precond=precond)
         return d._hcu.distribute(res.x), res.iterations
 
     # ---------------- strain projection -------------------------------------

@@ -41,6 +41,7 @@ class GridDiscretization(Discretization):
 
     info_p: GridInfo = None
     info_u: GridInfo = None
+    gmg_precond: object = None   # V-cycle for the elasticity solve, or None
 
     def mass(self, p):
         pe = grid_gather(p, self.info_p, 1)[:, 0, :]
@@ -166,7 +167,8 @@ def build_grid_discretization(data: InputData,
                               displacement_degree: int = 2,
                               dtype=None,
                               lower=None, upper=None,
-                              backend: str = "conv") -> GridDiscretization:
+                              backend: str = "conv",
+                              multigrid: str = "auto") -> GridDiscretization:
     dim = data.dim
     if cells_per_axis is None:
         cells_per_axis = 2 ** data.initial_refinement_level
@@ -269,7 +271,42 @@ def build_grid_discretization(data: InputData,
         return proj_raw(u).reshape(-1, C).T     # (C, n_pdofs)
 
     fields = {f.name: getattr(d, f.name) for f in dataclasses.fields(d)}
-    return ConvGridDiscretization(
+    d = ConvGridDiscretization(
         **fields, stencil_mass=st_mass, stencil_laplace=st_lap,
         stencil_elasticity=st_el, stencil_coupling=st_cp,
         stencil_projection=st_proj)
+
+    # ---- geometric multigrid for the elasticity solve --------------------
+    n_levels = _gmg_levels(cells_per_axis, dim, u_space.n_nodes * dim,
+                           multigrid)
+    if n_levels >= 2:
+        from .multigrid import build_gmg_elasticity
+        lo = mesh.vertices.min(axis=0)
+        hi = mesh.vertices.max(axis=0)
+        precond, _ = build_gmg_elasticity(
+            data, n_fine=cells_per_axis, n_levels=n_levels, dtype=dtype,
+            lower=lo, upper=hi)
+        d.gmg_precond = precond
+    return d
+
+
+def _gmg_levels(n: int, dim: int, n_udofs: int, multigrid: str) -> int:
+    """Pick the V-cycle depth: deepest hierarchy with divisible cell counts,
+    coarse grid >= 4 cells, and a dense-invertible coarsest level.  'auto'
+    enables GMG only when the problem is big enough to amortize setup."""
+    if multigrid in ("off", "false", False, None):
+        return 1
+    if multigrid == "auto" and n_udofs < 150_000:
+        return 1
+    best = 1
+    L = 1
+    while True:
+        L += 1
+        if n % (2 ** (L - 1)) != 0:
+            break
+        nc = n // (2 ** (L - 1))
+        if nc < 4:
+            break
+        if dim * (2 * nc + 1) ** dim <= 8000:
+            best = L
+    return best
