@@ -58,9 +58,11 @@ def main(argv=None):
     data = read_input_file(args.deck)
     if args.x64 or data.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
-    from .models.runner import SimulationRunner
-    runner = SimulationRunner(data)
-    runner.run(resume_from=args.resume)
+    from .models.runner import SimulationRunner, run_from_deck
+    if data.amr:
+        run_from_deck(args.deck, resume_from=args.resume)
+    else:
+        SimulationRunner(data).run(resume_from=args.resume)
     return 0
 
 

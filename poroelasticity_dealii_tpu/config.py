@@ -180,6 +180,12 @@ _SCHEMA = {
     # projected mechanical strain each coupling iteration and the
     # accumulation term uses the step-start strain.
     ("TPU", "Volumetric strain resync"): ("false", _str({"true", "false"})),
+    # Gravity body force: -9.81 * rho applied on displacement component d.
+    # The reference's BodyForces is effectively dead code (default direction
+    # 3 is out of range -> zero body force, SURVEY §2.1.2); here -1 (off)
+    # replicates that and 0..dim-1 actually enables it.
+    ("TPU", "Gravity direction"): ("-1", _int(-1, 2)),
+    ("TPU", "Debug NaNs"): ("false", _str({"true", "false"})),
 }
 
 
@@ -235,6 +241,8 @@ class InputData:
     projection_cg_tol: float = 1e-8
     cg_max_iterations: int = 1000
     resync_volumetric_strain: bool = False
+    gravity_direction: int = -1
+    debug_nans: bool = False
 
     # ---- derived poroelastic moduli (InputDataPoroel.h:213-222) ----
     @property
@@ -324,6 +332,8 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
         cg_max_iterations=vals[("TPU", "CG max iterations")],
         resync_volumetric_strain=(
             vals[("TPU", "Volumetric strain resync")] == "true"),
+        gravity_direction=vals[("TPU", "Gravity direction")],
+        debug_nans=vals[("TPU", "Debug NaNs")] == "true",
     )
 
     nbc = len(data.displacement_boundary_labels)

@@ -88,6 +88,13 @@ class SimulationRunner:
             if not np.isfinite(float(stats.pressure_error)):
                 raise FloatingPointError(
                     f"FSS residual diverged at step {step}")
+            if not bool(stats.cg_converged):
+                # the reference aborts from deal.II SolverControl; we warn
+                # and keep the run alive with the partial solve
+                import warnings
+                warnings.warn(
+                    f"step {step}: a linear solve hit its iteration cap "
+                    "before reaching tolerance", RuntimeWarning)
         self.logger.close()
         return state
 
@@ -96,5 +103,13 @@ def run_from_deck(path: str, resume_from: Optional[str] = None) -> State:
     """CLI entry: deck file -> full simulation (parse_command_line.h + main
     semantics)."""
     data = read_input_file(path)
+    if data.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
+    if data.amr:
+        from ..amr.driver import AMRSimulationRunner
+        runner = AMRSimulationRunner(data)
+        state, _ = runner.run()
+        return state
     runner = SimulationRunner(data)
     return runner.run(resume_from=resume_from)

@@ -246,6 +246,27 @@ def _dirichlet_constraints(mesh: Mesh, u_space: FESpace, data: InputData):
     return free, values
 
 
+def _body_force_vector(u_space: FESpace, data: InputData,
+                       jxw_u: np.ndarray, psi_u: np.ndarray) -> np.ndarray:
+    """Gravity body-force RHS: f[(n,c)] = ∫ phi_n * rho * g_c dx.
+
+    The reference's BodyForces (right_hand_side.h:47-84) is effectively a
+    no-op (SURVEY §2.1.2): default direction 3 fails the ``<= dim`` guard in
+    2D and would be out of bounds in 3D.  Our default (-1) replicates the
+    no-op; setting ``TPU / Gravity direction`` to a valid axis enables the
+    intended -9.81*rho load."""
+    dim = u_space.mesh.dim
+    n_udofs = u_space.n_nodes * dim
+    f = np.zeros(n_udofs)
+    d = data.gravity_direction
+    if d < 0 or d >= dim:
+        return f
+    fe = np.einsum("eq,qn->en", jxw_u, psi_u) * (-9.81 * data.bulk_density)
+    dofs = u_space.cell_nodes.astype(np.int64) * dim + d
+    np.add.at(f, dofs.reshape(-1), fe.reshape(-1))
+    return f
+
+
 def _well_vector(p_space: FESpace, data: InputData,
                  jxw_p: np.ndarray, psi_p: np.ndarray,
                  x_q: np.ndarray) -> np.ndarray:
@@ -289,7 +310,7 @@ def build_discretization(mesh: Mesh, data: InputData,
 
     psi_p_at_pq, dref_p_at_pq = shape_tables(pressure_degree, dim, pq_pts)
     psi_p_at_uq, _ = shape_tables(pressure_degree, dim, uq_pts)
-    _, dref_u_at_uq = shape_tables(displacement_degree, dim, uq_pts)
+    psi_u_at_uq, dref_u_at_uq = shape_tables(displacement_degree, dim, uq_pts)
     _, dref_u_at_pq = shape_tables(displacement_degree, dim, pq_pts)
 
     # cells-last layouts for the hot path
@@ -304,7 +325,8 @@ def build_discretization(mesh: Mesh, data: InputData,
     x_q = np.einsum("qv,evd->eqd", n1_at_pq, corner_xyz)
 
     f_well = _well_vector(p_space, data, jxw_p, psi_p_at_pq, x_q)
-    f_neumann = _neumann_vector(mesh, u_space, data)
+    f_neumann = _neumann_vector(mesh, u_space, data) \
+        + _body_force_vector(u_space, data, jxw_u, psi_u_at_uq)
     free_np, dirichlet_np = _dirichlet_constraints(mesh, u_space, data)
     free_p_np, dirichlet_p_np = _pressure_dirichlet(mesh, p_space, data)
 

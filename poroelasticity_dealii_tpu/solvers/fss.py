@@ -55,6 +55,9 @@ class StepStats(NamedTuple):
     mech_cg_iterations: jnp.ndarray
     projection_cg_iterations: jnp.ndarray
     fss_error_history: jnp.ndarray     # (max_fss,) padded with -1
+    cg_converged: jnp.ndarray = True   # False if ANY linear solve hit its
+    #                                    iteration cap (the reference throws
+    #                                    from deal.II SolverControl instead)
 
 
 class State(NamedTuple):
@@ -132,7 +135,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         res = cg_solve(apply, b_mod, x0, d.diag_elasticity,
                        tol=tol, max_iter=data.cg_max_iterations,
                        precond=precond)
-        return d._hcu.distribute(res.x), res.iterations
+        return d._hcu.distribute(res.x), res.iterations, res.converged
 
     # ---------------- strain projection -------------------------------------
 
@@ -150,7 +153,8 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                                d.diag_mass, tol,
                                self.data.cg_max_iterations)
         x = jax.vmap(d._hcp.distribute)(res.x)
-        return x, jnp.sum(res.iterations).astype(jnp.int32)
+        return x, jnp.sum(res.iterations).astype(jnp.int32), \
+            jnp.all(res.converged)
 
     # ---------------- initialization (PoroelasticityFSS.h:311-317) ----------
 
@@ -162,10 +166,10 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         p = jnp.full((d.n_pdofs,), data.p_init, d.dtype)
         p = p * d.free_mask_p + d.dirichlet_values_p * (1.0 - d.free_mask_p)
         u0 = jnp.zeros((d.n_udofs,), d.dtype)
-        u, _ = self._mechanics_solve(p, u0, bc_scale)
+        u, _, _ = self._mechanics_solve(p, u0, bc_scale)
         vol = VOLUMETRIC_ENTRIES[dim]
         warm = jnp.zeros((len(vol), d.n_pdofs), d.dtype)
-        vol_strains, _ = self._project(u, vol, warm)
+        vol_strains, _, _ = self._project(u, vol, warm)
         strains = jnp.zeros((n_voigt, d.n_pdofs), d.dtype)
         strains = strains.at[jnp.asarray(vol)].set(vol_strains)
         eps_v = jnp.sum(vol_strains, axis=0)
@@ -202,11 +206,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             err0 = jnp.linalg.norm(r0)
 
             def cond(c):
-                k, _, _, _, _, err, _ = c
+                k, err = c[0], c[5]
                 return (k < max_press) & (err > data.pressure_tol)
 
             def body(c):
-                k, p, eps_v, delta_p, r, err, cg_tot = c
+                k, p, eps_v, delta_p, r, err, cg_tot, _cg_ok = c
                 res = cg_solve(lambda x: self._pressure_jacobian_apply(x, dt),
                                r, self.disc._hcp.zero_hanging(delta_p),
                                jac_diag,
@@ -217,12 +221,13 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 eps_v = eps_v + (data.biot_coef / data.bulk_modulus) * delta_p
                 r = self._pressure_residual(p, p_old, eps_v, eps_v0, dt)
                 return (k + 1, p, eps_v, delta_p, r, jnp.linalg.norm(r),
-                        cg_tot + res.iterations)
+                        cg_tot + res.iterations, c[-1] & res.converged)
 
-            init = (jnp.int32(0), p, eps_v, delta_p, r0, err0, jnp.int32(0))
-            k, p, eps_v, delta_p, r, err, cg_tot = jax.lax.while_loop(
+            init = (jnp.int32(0), p, eps_v, delta_p, r0, err0, jnp.int32(0),
+                    jnp.bool_(True))
+            k, p, eps_v, delta_p, r, err, cg_tot, cg_ok = jax.lax.while_loop(
                 cond, body, init)
-            return p, eps_v, delta_p, err, k, cg_tot
+            return p, eps_v, delta_p, err, k, cg_tot, cg_ok
 
         n_vol = len(vol)
 
@@ -232,10 +237,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
         def fss_body(c):
             delta_p = jnp.zeros_like(c["p"])  # reset per FSS iteration (:356)
-            p, eps_v, delta_p, err_p, n_press, cg_p = pressure_inner(
+            p, eps_v, delta_p, err_p, n_press, cg_p, ok_p = pressure_inner(
                 c["p"], c["eps_v"], delta_p)
-            u, cg_u = self._mechanics_solve(p, c["u"], bc_scale)
-            vol_strains, cg_proj = self._project(u, vol, c["vol_strains"])
+            u, cg_u, ok_u = self._mechanics_solve(p, c["u"], bc_scale)
+            vol_strains, cg_proj, ok_pr = self._project(
+                u, vol, c["vol_strains"])
             if resync:
                 # textbook fixed-stress correction: eps_v follows the
                 # projected mechanical strain (the line the reference left
@@ -251,6 +257,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 cg_p=c["cg_p"] + cg_p, cg_u=c["cg_u"] + cg_u,
                 cg_proj=c["cg_proj"] + cg_proj,
                 err_hist=c["err_hist"].at[it].set(err),
+                cg_ok=c["cg_ok"] & ok_p & ok_u & ok_pr,
             )
 
         carry = dict(
@@ -261,17 +268,20 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             press_total=jnp.int32(0), cg_p=jnp.int32(0), cg_u=jnp.int32(0),
             cg_proj=jnp.int32(0),
             err_hist=jnp.full((max_fss,), -1.0, d.dtype),
+            cg_ok=jnp.bool_(True),
         )
         c = jax.lax.while_loop(fss_cond, fss_body, carry)
 
         # shear strains once per step after FSS convergence (:409)
         strains = state.strains.at[jnp.asarray(vol)].set(c["vol_strains"])
         cg_proj = c["cg_proj"]
+        cg_ok = c["cg_ok"]
         if shear:
-            shear_strains, cg_sh = self._project(
+            shear_strains, cg_sh, ok_sh = self._project(
                 c["u"], shear, state.strains[jnp.asarray(shear)])
             strains = strains.at[jnp.asarray(shear)].set(shear_strains)
             cg_proj = cg_proj + cg_sh
+            cg_ok = cg_ok & ok_sh
 
         new_state = State(p=c["p"], u=c["u"], eps_v=c["eps_v"],
                           eps_v0=eps_v0, strains=strains)
@@ -280,7 +290,8 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             pressure_iterations=c["press_total"],
             pressure_cg_iterations=c["cg_p"], mech_cg_iterations=c["cg_u"],
             projection_cg_iterations=cg_proj,
-            fss_error_history=c["err_hist"])
+            fss_error_history=c["err_hist"],
+            cg_converged=cg_ok)
         return new_state, stats
 
     # ---------------- nodal effective stresses ------------------------------

@@ -30,9 +30,9 @@ from ..ops.quadrature import gauss_tensor
 from ..ops.shape import shape_tables
 from ..ops.structured import (grid_gather, grid_scatter,
                               uniform_geometry_factors)
-from .discretization import (Discretization, _dirichlet_constraints,
-                             _neumann_vector, _pressure_dirichlet,
-                             _well_vector)
+from .discretization import (Discretization, _body_force_vector,
+                             _dirichlet_constraints, _neumann_vector,
+                             _pressure_dirichlet, _well_vector)
 
 
 @dataclasses.dataclass
@@ -192,7 +192,7 @@ def build_grid_discretization(data: InputData,
 
     psi_p_at_pq, dref_p_at_pq = shape_tables(pressure_degree, dim, pq_pts)
     psi_p_at_uq, _ = shape_tables(pressure_degree, dim, uq_pts)
-    _, dref_u_at_uq = shape_tables(displacement_degree, dim, uq_pts)
+    psi_u_at_uq, dref_u_at_uq = shape_tables(displacement_degree, dim, uq_pts)
     _, dref_u_at_pq = shape_tables(displacement_degree, dim, pq_pts)
 
     conn_p = np.ascontiguousarray(p_space.cell_nodes.T)
@@ -205,7 +205,9 @@ def build_grid_discretization(data: InputData,
     jxw_p_full = np.broadcast_to(jxw_p.T, (mesh.n_cells, jxw_p.shape[0]))
 
     f_well = _well_vector(p_space, data, jxw_p_full, psi_p_at_pq, x_q)
-    f_neumann = _neumann_vector(mesh, u_space, data)
+    jxw_u_full = np.broadcast_to(jxw_u.T, (mesh.n_cells, jxw_u.shape[0]))
+    f_neumann = _neumann_vector(mesh, u_space, data) \
+        + _body_force_vector(u_space, data, jxw_u_full, psi_u_at_uq)
     free_np, dirichlet_np = _dirichlet_constraints(mesh, u_space, data)
     free_p_np, dirichlet_p_np = _pressure_dirichlet(mesh, p_space, data)
 

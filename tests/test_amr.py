@@ -130,8 +130,9 @@ def test_mechanics_patch_test(amr_problem):
         f_well=disc.f_well * 0.0)
     data2 = dataclasses.replace(data, biot_coef=0.1)
     solver = FixedStressSolver(disc2, data2)
-    u, iters = solver._mechanics_solve(jnp.zeros(disc.n_pdofs, disc.dtype),
-                                       jnp.zeros(disc.n_udofs, disc.dtype))
+    u, iters, ok = solver._mechanics_solve(
+        jnp.zeros(disc.n_pdofs, disc.dtype),
+        jnp.zeros(disc.n_udofs, disc.dtype))
     np.testing.assert_allclose(np.asarray(u), u_exact, rtol=1e-7,
                                atol=1e-12)
 
