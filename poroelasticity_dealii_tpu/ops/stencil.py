@@ -100,13 +100,18 @@ def conv_scatter(ye, kernel, k: int, dim: int, n_comp: int, n: int,
 
 def make_stencil_apply(element_matrix: np.ndarray, k_in: int, k_out: int,
                        n_comp_in: int, n_comp_out: int, dim: int,
-                       n_cells: int, dtype):
+                       n_cells: int, dtype,
+                       precision=lax.Precision.HIGHEST):
     """Build ``apply(x) -> y`` for one operator.
 
     ``element_matrix``: (N_out_nodes * n_comp_out, N_in_nodes * n_comp_in)
     dense per-cell matrix; rows/cols indexed (node * n_comp + comp) with the
     standard x-fastest local node ordering.  ``k_in``/``k_out`` are the
     polynomial degrees of the input/output spaces.
+
+    ``precision``: MXU conv precision.  HIGHEST = full f32 (the solver
+    operator); lower settings are legitimate for *preconditioner* applies
+    (smoothers), which only need to be a fixed linear operator.
     """
     g_in = k_in * n_cells + 1
     wg = jnp.asarray(_to_kernel(element_matrix, n_comp_in, k_in, dim),
@@ -117,7 +122,9 @@ def make_stencil_apply(element_matrix: np.ndarray, k_in: int, k_out: int,
         dtype=dtype)
 
     def apply(x):
-        ye = conv_cellwise(x, wg, k_in, dim, n_comp_in, g_in)
-        return conv_scatter(ye, ws, k_out, dim, n_comp_out, n_cells)
+        ye = conv_cellwise(x, wg, k_in, dim, n_comp_in, g_in,
+                           precision=precision)
+        return conv_scatter(ye, ws, k_out, dim, n_comp_out, n_cells,
+                            precision=precision)
 
     return apply

@@ -95,15 +95,60 @@ class _Level:
     restrict: Callable = None  # from this level to next-coarser
 
 
-def _embedding_matrix(dim: int, dtype):
-    """Q2 coarse-cell -> fine-nodes embedding E ((5^d*dim), (3^d*dim))."""
-    lat_f = node_lattice(4, dim).astype(np.float64) / 4.0 * 2.0 - 1.0
-    phi, _ = shape_tables(2, dim, lat_f)          # (5^d, 3^d)
-    nf, nc = phi.shape
-    E = np.zeros((nf * dim, nc * dim))
-    for i in range(dim):
-        E[i::dim, i::dim] = phi
-    return E
+def _parity_embedding_matrices(dim: int):
+    """Q2 embedding split per fine-subcell parity.
+
+    Returns ``E_s`` of shape ``(2^dim, 3^dim*dim, 3^dim*dim)``:
+    for fine cell ``2c+s`` inside coarse cell ``c``, local fine-node values
+    = ``E_s @`` coarse-cell local values.  (The single-conv 5-window/
+    dilation-4 formulation tickles an XLA-TPU space_to_batch compiler
+    crash; this parity split keeps every conv at the well-tested
+    3-window/stride-2 shape.)
+    """
+    lat = node_lattice(2, dim).astype(np.float64) / 2.0   # in [0,1]
+    mats = []
+    for s in range(2 ** dim):
+        bits = [(s >> d) & 1 for d in range(dim)]
+        pts = np.stack([(bits[d] + lat[:, d]) / 2.0 for d in range(dim)],
+                       axis=-1) * 2.0 - 1.0
+        phi, _ = shape_tables(2, dim, pts)                # (3^d, 3^d)
+        nf, nc = phi.shape
+        E = np.zeros((nf * dim, nc * dim))
+        for i in range(dim):
+            E[i::dim, i::dim] = phi
+        mats.append(E)
+    return np.stack(mats)
+
+
+def _deinterleave_parities(v, dim: int, nc: int):
+    """(CH, (2nc)^dim) fine-cell array -> (2^dim, CH, nc^dim) per parity."""
+    ch = v.shape[0]
+    w = v.reshape((ch,) + tuple(x for _ in range(dim) for x in (nc, 2)))
+    perm = [2 * d + 2 for d in range(dim)] + [0] \
+        + [2 * d + 1 for d in range(dim)]
+    w = w.transpose(perm)
+    return w.reshape(2 ** dim, ch, nc ** dim)
+
+
+def _interleave_parities(vals, dim: int, nc: int):
+    """(2^dim, CH, nc^dim) per-parity cell arrays -> (CH, (2nc)^dim).
+
+    Parity s bits are per-axis (x = bit 0); cell arrays are x-fastest.
+    """
+    ch = vals.shape[1]
+    v = vals.reshape((2,) * dim + (ch,) + (nc,) * dim)
+    # v[s_z.., ch, cz..]: interleave axis pairs -> (ch, nc,2, nc,2, ...)
+    # target fine index along axis d: 2*c_d + s_d
+    # bring each parity axis next to its cell axis
+    # parity axes: 0..dim-1 ordered (x=axis dim-1 ... wait: s bits d=x..)
+    # s index decomposed C-order: first axis = most significant bit = z
+    perm = [dim]  # channel axis first
+    for d in range(dim):           # spatial z..x
+        cell_axis = dim + 1 + d
+        parity_axis = d            # z-parity is axis 0 (most significant)
+        perm += [cell_axis, parity_axis]
+    v = v.transpose(perm)
+    return v.reshape(ch, *((2 * nc,) * dim))
 
 
 def build_gmg_elasticity(data: InputData, n_fine: int, n_levels: int,
@@ -124,7 +169,7 @@ def build_gmg_elasticity(data: InputData, n_fine: int, n_levels: int,
         if s * (2 ** l) != n_fine:
             raise ValueError(f"n_fine={n_fine} not divisible for level {l}")
 
-    E = _embedding_matrix(dim, np.float64)
+    E = _parity_embedding_matrices(dim)
 
     levels: List[_Level] = []
     coarse_space = None
@@ -165,10 +210,35 @@ def build_gmg_elasticity(data: InputData, n_fine: int, n_levels: int,
         coarse_space = u_space
         if l > 0:
             nc = n  # this level IS the coarser one of the pair (l-1, l)
-            raw_p = make_stencil_apply(E, 2, 4, dim, dim, dim, nc, dtype)
+            nf = 2 * nc
+            from ..ops.stencil import (_scatter_kernel, _to_kernel,
+                                       conv_cellwise, conv_scatter)
+            n_local = (3 ** dim) * dim
+            ident_k = jnp.asarray(
+                _to_kernel(np.eye(n_local), dim, 2, dim), dtype)
+            scat_f = jnp.asarray(
+                _scatter_kernel(dim, 3 ** dim, dim, 2, dim), dtype)
+            scat_c = scat_f
+            Es = jnp.asarray(E, dtype)            # (2^dim, n_local, n_local)
+            g_c, g_f = 2 * nc + 1, 2 * nf + 1
+
+            def raw_p(xc, _Es=Es, _ik=ident_k, _sf=scat_f, _nc=nc, _nf=nf,
+                      _gc=g_c):
+                uc = conv_cellwise(xc, _ik, 2, dim, dim, _gc)  # (NL, nc^d)
+                ye = jnp.einsum("sab,bE->saE", _Es, uc)
+                ye_f = _interleave_parities(ye, dim, _nc)
+                return conv_scatter(ye_f.reshape(ye.shape[1], -1), _sf, 2,
+                                    dim, dim, _nf)
+
             mult = raw_p(jnp.ones((u_space.n_nodes * dim,), dtype))
             inv_mult = 1.0 / mult
-            raw_r = make_stencil_apply(E.T, 4, 2, dim, dim, dim, nc, dtype)
+
+            def raw_r(yf, _Es=Es, _ik=ident_k, _sc=scat_c, _nc=nc, _nf=nf):
+                ye_f = conv_cellwise(yf, _ik, 2, dim, dim, 2 * _nf + 1)
+                ye = _deinterleave_parities(ye_f, dim, _nc)
+                zc = jnp.einsum("sab,saE->bE", _Es, ye)
+                return conv_scatter(zc, _sc, 2, dim, dim, _nc)
+
             fine_free = levels[l - 1].free_mask
             coarse_free = free
 
