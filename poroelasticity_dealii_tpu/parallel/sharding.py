@@ -125,6 +125,44 @@ class ShardedDiscretization(Discretization):
         return f(u, self.conn_u, self.conn_p, self.jinv_p, self.jxw_p)
 
 
+def shard_grid_discretization(disc, device_mesh: DeviceMesh):
+    """GSPMD-shard the structured conv-stencil path spatially.
+
+    Annotates the node-grid image inside every operator apply with a
+    sharding over the slowest spatial axis (a slab domain decomposition);
+    XLA GSPMD then partitions the convolutions and inserts the halo
+    exchanges (collective-permutes) over ICI automatically — the
+    convolution-native form of ghost-layer exchange.  DOF vectors stay
+    logically global; only compute and intermediate activations shard.
+    """
+    import dataclasses as _dc
+
+    from ..solvers.structured import ConvGridDiscretization
+
+    if not isinstance(disc, ConvGridDiscretization):
+        raise TypeError("spatial sharding requires the conv-stencil backend")
+    dim = disc.dim
+    spec = NamedSharding(device_mesh, P(CELL_AXIS, *([None] * dim)))
+
+    def wrap(f, g, n_comp):
+        def inner(x, *a):
+            X = x.reshape((g,) * dim + (n_comp,))
+            X = jax.lax.with_sharding_constraint(X, spec)
+            return f(X.reshape(-1), *a)
+        return inner
+
+    gp = disc.info_p.nodes_per_axis
+    gu = disc.info_u.nodes_per_axis
+    return _dc.replace(
+        disc,
+        stencil_mass=wrap(disc.stencil_mass, gp, 1),
+        stencil_laplace=wrap(disc.stencil_laplace, gp, 1),
+        stencil_elasticity=wrap(disc.stencil_elasticity, gu, dim),
+        stencil_coupling=wrap(disc.stencil_coupling, gp, 1),
+        stencil_projection=wrap(disc.stencil_projection, gu, dim),
+    )
+
+
 def shard_discretization(disc: Discretization,
                          device_mesh: DeviceMesh) -> ShardedDiscretization:
     """Pad element arrays to the mesh size and place them sharded."""

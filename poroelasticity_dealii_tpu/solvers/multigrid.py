@@ -154,7 +154,8 @@ def _interleave_parities(vals, dim: int, nc: int):
 def build_gmg_elasticity(data: InputData, n_fine: int, n_levels: int,
                          dtype, displacement_degree: int = 2,
                          smoother_degree: int = 3,
-                         lower=None, upper=None):
+                         lower=None, upper=None,
+                         smoother_precision=None):
     """Build a V-cycle preconditioner for the Dirichlet-masked elasticity
     operator on an ``n_fine``-cells-per-axis structured grid.
 
@@ -186,7 +187,10 @@ def build_gmg_elasticity(data: InputData, n_fine: int, n_levels: int,
         cell_mesh = hyper_rectangle(h, cells_per_axis=1)
         su1 = build_fe_space(cell_mesh, 2)
         Ke = dense.elasticity_element_matrices(su1, lam, mu)[0]
-        raw = make_stencil_apply(Ke, 2, 2, dim, dim, dim, n, dtype)
+        import jax.lax as lax
+        prec = smoother_precision or lax.Precision.HIGHEST
+        raw = make_stencil_apply(Ke, 2, 2, dim, dim, dim, n, dtype,
+                                 precision=prec)
         apply = ops.constrained_apply(raw, free)
         # diagonal via the generic scatter (setup-only)
         conn_u = jnp.asarray(

@@ -76,3 +76,37 @@ def test_full_time_step_1_vs_8_shards(setup):
     np.testing.assert_allclose(a8.p, a1.p, rtol=1e-10)
     np.testing.assert_allclose(a8.u, a1.u, atol=1e-13)
     np.testing.assert_allclose(a8.eps_v, a1.eps_v, rtol=1e-8, atol=1e-18)
+
+
+def test_sharded_conv_grid_full_step():
+    """Spatial GSPMD sharding of the structured conv path: XLA partitions
+    the stencil convs and inserts halo exchanges; the full FSS step must
+    match the unsharded run exactly."""
+    import dataclasses
+    from poroelasticity_dealii_tpu.parallel import shard_grid_discretization
+    from poroelasticity_dealii_tpu.solvers.structured import \
+        build_grid_discretization
+
+    data = read_input_file(GOLDEN)
+    data = dataclasses.replace(data, initial_refinement_level=4)
+    disc = build_grid_discretization(data, cells_per_axis=16, backend="conv",
+                                     multigrid="off")
+    dmesh = make_device_mesh(8)
+    sdisc = shard_grid_discretization(disc, dmesh)
+    s0 = FixedStressSolver(disc, data)
+    s1 = FixedStressSolver(sdisc, data)
+    st0, st1 = s0.initial_state(), s1.initial_state()
+    np.testing.assert_allclose(np.asarray(st1.u), np.asarray(st0.u),
+                               atol=1e-14)
+    a0, t0 = s0.time_step(st0, data.time_step)
+    a1, t1 = s1.time_step(st1, data.time_step)
+    assert int(t0.fss_iterations) == int(t1.fss_iterations)
+    np.testing.assert_allclose(np.asarray(a1.p), np.asarray(a0.p),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(a1.u), np.asarray(a0.u),
+                               atol=1e-13)
+    # the compiled step really contains halo exchanges
+    import jax
+    f = jax.jit(lambda x: sdisc.elasticity(x))
+    hlo = f.lower(st1.u).compile().as_text()
+    assert ("collective-permute" in hlo) or ("all-gather" in hlo)
