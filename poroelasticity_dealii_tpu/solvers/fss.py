@@ -77,6 +77,17 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
     disc: Discretization
     data: InputData
 
+    def __post_init__(self):
+        # K̂(dirichlet_values), computed once at construction (outside any
+        # trace).  Inside jit this conv chain on constants would either be
+        # constant-folded by XLA at enormous compile cost or recomputed per
+        # solve; by linearity the bc_scale-dependent lift is just
+        # ``bc_scale * lift``.
+        d = self.disc
+        k_hat = d._hcu.constrained(d.elasticity)
+        object.__setattr__(self, "_elasticity_lift",
+                           jax.block_until_ready(k_hat(d.dirichlet_values)))
+
     # ---------------- pressure system pieces -------------------------------
 
     def _pressure_residual(self, p, p_old, eps_v, eps_v0, dt):
@@ -122,8 +133,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         rhs = d._hcu.condense_vec(
             d.coupling_rhs(p, data.biot_coef) + d.f_neumann)
         g = d.dirichlet_values * bc_scale
-        k_hat = d._hcu.constrained(d.elasticity)
-        b_mod = d.free_mask_u * (rhs - k_hat(g)) \
+        b_mod = d.free_mask_u * (rhs - bc_scale * self._elasticity_lift) \
             + (1.0 - d.free_mask_u) * g
         apply = d.elasticity_constrained
         x0 = d._hcu.zero_hanging(
