@@ -168,14 +168,22 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
     # ---------------- initialization (PoroelasticityFSS.h:311-317) ----------
 
-    @partial(jax.jit, static_argnums=0)
     def initial_state(self, bc_scale=1.0) -> State:
+        """Host wrapper: builds the initial vectors as *device arrays* so
+        the jitted body sees traced inputs — otherwise XLA constant-folds
+        entire operator applies on the constant initial fields at huge
+        compile cost."""
+        d = self.disc
+        p0 = jnp.full((d.n_pdofs,), self.data.p_init, d.dtype)
+        u0 = jnp.zeros((d.n_udofs,), d.dtype)
+        return self._initial_state_impl(p0, u0, bc_scale)
+
+    @partial(jax.jit, static_argnums=0)
+    def _initial_state_impl(self, p0, u0, bc_scale) -> State:
         d, data = self.disc, self.data
         dim = d.dim
         n_voigt = len(VOIGT_PAIRS[dim])
-        p = jnp.full((d.n_pdofs,), data.p_init, d.dtype)
-        p = p * d.free_mask_p + d.dirichlet_values_p * (1.0 - d.free_mask_p)
-        u0 = jnp.zeros((d.n_udofs,), d.dtype)
+        p = p0 * d.free_mask_p + d.dirichlet_values_p * (1.0 - d.free_mask_p)
         u, _, _ = self._mechanics_solve(p, u0, bc_scale)
         vol = VOLUMETRIC_ENTRIES[dim]
         warm = jnp.zeros((len(vol), d.n_pdofs), d.dtype)
