@@ -1,21 +1,20 @@
-"""Fused Pallas TPU kernel for the structured Q2 elasticity apply.
+"""Fused Pallas TPU kernel for the structured 3D Q2 elasticity apply.
 
 The conv-stencil path (ops/stencil.py) materializes the per-cell local
-vectors (ue/ye, ~5x the dof vector) in HBM between its two convolutions.
-This kernel fuses gather -> element-matrix matvec (MXU) -> scatter inside
-VMEM over z-slabs of cells, so HBM traffic drops to ~(1 + 1/Tz) reads +
-1 write of the dof grid — the memory floor for a stencil apply.
+vectors (~5x the dof grid) in HBM between its two convolutions.  This
+kernel fuses gather -> element-matrix matmul (MXU) -> scatter inside VMEM
+over z-slabs of cells, reducing HBM traffic to ~(1 + 1/Tz) reads + 1 write
+of the dof grid — the memory floor for a stencil operator.
 
-Tiling: the output node grid is partitioned into disjoint z-slabs of
-``2*Tz`` node planes; slab k computes contributions from cell layers
-``k*Tz - 1 .. k*Tz + Tz - 1`` (one halo layer recomputed) so no
-cross-block accumulation is needed.  The input grid is zero-padded by one
-cell layer in z (and to a lane-friendly multiple in x) on the host side of
-the call.
+Key layout trick: the node grid is pre-split (host side, cheap) into its
+8 per-axis **parity subgrids**.  Every per-cell local-dof gather and every
+assembly scatter then becomes a *contiguous* shifted slice of one parity
+grid — no strided memory ops inside the kernel, which Mosaic handles well.
+Slab boundaries are covered by recomputing one halo cell layer, so output
+blocks stay disjoint (no cross-block accumulation).
 
-Layout inside the kernel: cells of one z-layer live in the trailing
-(lane) axis; the local-dof contraction is one (81, 81) @ (81, n_xy) MXU
-matmul per cell layer.
+Correctness is verified against the conv path in interpret mode and on
+device (tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -32,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.shape import node_lattice
 
 
-def _elasticity_element_matrix(data, n: int, dim: int = 3) -> np.ndarray:
+def elasticity_element_matrix(data, n: int, dim: int = 3) -> np.ndarray:
     from ..mesh.generator import hyper_rectangle
     from ..mesh.qk import build_fe_space
     from ..ops import dense
@@ -43,90 +42,125 @@ def _elasticity_element_matrix(data, n: int, dim: int = 3) -> np.ndarray:
         su1, data.lame_constant, data.shear_modulus)[0]
 
 
-def _kernel(u_ref, ke_ref, y_ref, *, n: int, tz: int, g: int):
-    """One z-slab: cell layers [zc0-1, zc0+tz), owned node planes
-    [2*zc0, 2*zc0 + 2*tz).
+def split_parities(U, n: int):
+    """(2n+1, 2n+1, 2n+1, 3) node grid -> (8, n+1, n+1, n+1, 3).
 
-    u_ref block: (2*tz + 3, g, gx_pad, 3) node planes (z-padded grid)
-    ke_ref: (81, 81) element matrix
-    y_ref block: (2*tz, g, gx_pad, 3)
+    Parity index q = px + 2*py + 4*pz; odd-parity axes (n entries) are
+    zero-padded to n+1.
     """
-    gx = u_ref.shape[2]
-    acc = jnp.zeros((2 * tz + 3, g, gx, 3), dtype=y_ref.dtype)
-    lat = node_lattice(2, 3)                     # (27, 3) x-first
+    parts = []
+    for q in range(8):
+        px, py, pz = q & 1, (q >> 1) & 1, (q >> 2) & 1
+        P = U[pz::2, py::2, px::2, :]
+        pad = [(0, (n + 1) - P.shape[0]), (0, (n + 1) - P.shape[1]),
+               (0, (n + 1) - P.shape[2]), (0, 0)]
+        parts.append(jnp.pad(P, pad))
+    return jnp.stack(parts)
 
-    # loop over the tz+1 cell layers of this slab (static unroll)
-    for zc in range(tz + 1):
-        # gather: local dofs of all n*n cells of this layer
-        # node planes 2*zc .. 2*zc+2 within the block
+
+def merge_parities(parts, n: int):
+    """Inverse of :func:`split_parities` -> (2n+1, 2n+1, 2n+1, 3)."""
+    g = 2 * n + 1
+    U = jnp.zeros((g, g, g, parts.shape[-1]), parts.dtype)
+    for q in range(8):
+        px, py, pz = q & 1, (q >> 1) & 1, (q >> 2) & 1
+        nz = n + 1 - pz
+        ny = n + 1 - py
+        nx = n + 1 - px
+        U = U.at[pz::2, py::2, px::2, :].set(parts[q, :nz, :ny, :nx, :])
+    return U
+
+
+def _kernel(uin_hbm, ke_ref, out_ref, scratch, sem, *, n: int, tz: int):
+    """One z-slab of tz cell layers (plus one recomputed halo layer).
+
+    uin_hbm: (8, n+2+tz, n+1, n+1, 3) parity grids, z-padded by 1 in front.
+    out_ref block: (8, tz, n+1, n+1, 3) — owned parity-z range.
+    scratch: (8, tz+2, n+1, n+1, 3) VMEM.
+    """
+    k = pl.program_id(0)
+    z0 = k * tz
+
+    dma = pltpu.make_async_copy(
+        uin_hbm.at[:, pl.ds(z0, tz + 2)], scratch, sem)
+    dma.start()
+    dma.wait()
+
+    lat = node_lattice(2, 3)                       # (27, 3) x-first
+    acc = jnp.zeros((8, tz, n + 1, n + 1, 3), out_ref.dtype)
+
+    for zr in range(tz + 1):                       # cell layer zc = z0-1+zr
+        # ---- gather: contiguous shifted slices of the parity grids ----
         cols = []
         for a in range(27):
             ox, oy, oz = int(lat[a, 0]), int(lat[a, 1]), int(lat[a, 2])
-            sl = u_ref[2 * zc + oz,
-                       pl.ds(oy, 2 * n - 1),
-                       pl.ds(ox, 2 * n - 1), :]
-            # stride-2 subsample in y and x: cells of the layer
-            sl = sl[::2, ::2, :]                 # (n, n, 3)
-            cols.append(sl.reshape(n * n, 3))
-        ue = jnp.concatenate(
-            [c.reshape(n * n, 3) for c in cols], axis=1)   # (n*n, 81)
-        ye = jnp.dot(ue, ke_ref[:].T,
-                     preferred_element_type=jnp.float32)   # (n*n, 81)
-        ye = ye.reshape(n, n, 27, 3)
-        # scatter into the accumulator (VMEM)
+            q = (ox & 1) + 2 * (oy & 1) + 4 * (oz & 1)
+            # padded parity-z index: (zc + oz//2) + 1 - z0 = zr + oz//2
+            sy, sx = oy // 2, ox // 2
+            sl = scratch[q, zr + oz // 2, sy:sy + n, sx:sx + n, :]
+            cols.append(sl)                        # (n, n, 3)
+        ue = jnp.concatenate(cols, axis=-1)        # (n, n, 81)
+        ye = jnp.dot(ue.reshape(n * n, 81), ke_ref[:].T,
+                     preferred_element_type=out_ref.dtype)
+        # mask phantom cell layers (halo below 0 / tail block beyond n-1):
+        # their gathers read real boundary planes, but the cells don't exist
+        zc = z0 - 1 + zr
+        valid = ((zc >= 0) & (zc < n)).astype(out_ref.dtype)
+        ye = (ye * valid).reshape(n, n, 27, 3)
+
+        # ---- scatter: contiguous adds into owned parity planes --------
         for a in range(27):
             ox, oy, oz = int(lat[a, 0]), int(lat[a, 1]), int(lat[a, 2])
-            plane = 2 * zc + oz
-            contrib = ye[:, :, a, :]             # (n, n, 3)
-            cur = acc[plane, pl.ds(oy, 2 * n - 1), pl.ds(ox, 2 * n - 1), :]
-            cur = cur.at[::2, ::2, :].add(contrib)
-            acc = acc.at[plane,
-                         pl.ds(oy, 2 * n - 1),
-                         pl.ds(ox, 2 * n - 1), :].set(cur)
+            q = (ox & 1) + 2 * (oy & 1) + 4 * (oz & 1)
+            t_rel = (zr - 1) + oz // 2             # target parity-z - z0
+            if 0 <= t_rel < tz:
+                contrib = ye[:, :, a, :]
+                sy, sx = oy // 2, ox // 2
+                acc = acc.at[q, t_rel, sy:sy + n, sx:sx + n, :].add(contrib)
 
-    # write out the owned planes (offset 2: skip the halo layer's planes)
-    y_ref[...] = acc[2:2 + 2 * tz]
+    out_ref[...] = acc
 
 
-def make_pallas_elasticity(data, n: int, dtype=jnp.float32, tz: int = 2,
+def make_pallas_elasticity(element_matrix: np.ndarray, n: int,
+                           dtype=jnp.float32, tz: int = 2,
                            interpret: bool = False):
-    """Build ``apply(u_flat) -> y_flat`` for the 3D structured Q2 grid."""
+    """Build ``apply(u_flat) -> y_flat`` for a 3D structured Q2 grid with
+    ``n`` cells per axis and the given (uniform-cell) element matrix."""
     dim = 3
     g = 2 * n + 1
-    ke = jnp.asarray(_elasticity_element_matrix(data, n), dtype)
-    if n % tz != 0:
-        raise ValueError(f"n={n} must be divisible by tz={tz}")
-    n_blocks = n // tz
-    gx_pad = g  # keep x unpadded; Mosaic handles the trailing dims
+    ke = jnp.asarray(element_matrix, dtype)
+    n_blocks = -(-n // tz) + 1       # +1 tail block owns parity-z index n
+    zpad_in = n_blocks * tz + 2      # front halo 1 + coverage
+    zpad_out = n_blocks * tz
 
-    kern = partial(_kernel, n=n, tz=tz, g=g)
+    kern = partial(_kernel, n=n, tz=tz)
 
+    @jax.jit
     def apply(u_flat):
         U = u_flat.reshape(g, g, g, dim)
-        # pad z by one cell (2 planes) on both sides; plus one extra plane
-        # so every slab sees 2*tz+3 planes
-        Upad = jnp.pad(U, ((2, 2 * tz + 1), (0, 0), (0, 0), (0, 0)))
-        y = pl.pallas_call(
+        parts = split_parities(U, n)               # (8, n+1, n+1, n+1, 3)
+        parts = jnp.pad(parts, ((0, 0), (1, zpad_in - (n + 1) - 1),
+                                (0, 0), (0, 0), (0, 0)))
+        out = pl.pallas_call(
             kern,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((2 * tz + 3, g, gx_pad, dim),
-                             lambda k: (k * 2 * tz, 0, 0, 0),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((81, 81), lambda k: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((27 * dim, 27 * dim),
-                             lambda k: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((2 * tz, g, gx_pad, dim),
-                                   lambda k: (k * 2 * tz, 0, 0, 0),
+            out_specs=pl.BlockSpec((8, tz, n + 1, n + 1, dim),
+                                   lambda k: (0, k, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((2 * tz * n_blocks, g, gx_pad,
-                                            dim), dtype),
+            out_shape=jax.ShapeDtypeStruct((8, zpad_out, n + 1, n + 1, dim),
+                                           dtype),
+            scratch_shapes=[
+                pltpu.VMEM((8, tz + 2, n + 1, n + 1, dim), dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
             interpret=interpret,
-        )(Upad, ke)
-        # owned planes cover [0, 2n); the last node plane 2n gets
-        # contributions only from cell layer n-1 which the LAST slab also
-        # computed into its accumulator but could not own.  Handle it by
-        # running one extra tail computation on the host side:
-        return y
+        )(parts, ke)
+        Y = merge_parities(out[:, :n + 1], n)
+        return Y.reshape(-1)
 
     return apply
