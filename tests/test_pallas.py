@@ -21,7 +21,7 @@ def test_parity_split_roundtrip():
     n = 3
     g = 2 * n + 1
     rng = np.random.default_rng(0)
-    U = jnp.asarray(rng.standard_normal((g, g, g, 3)).astype(np.float32))
+    U = jnp.asarray(rng.standard_normal((g, g, g, 3)))
     np.testing.assert_allclose(merge_parities(split_parities(U, n), n), U)
 
 
@@ -31,10 +31,11 @@ def test_pallas_elasticity_matches_conv(n, tz):
     disc = build_grid_discretization(data, cells_per_axis=n,
                                      multigrid="off")
     rng = np.random.default_rng(1)
-    u = jnp.asarray(rng.standard_normal(disc.n_udofs).astype(np.float32))
+    u = jnp.asarray(rng.standard_normal(disc.n_udofs), dtype=disc.dtype)
     ke = elasticity_element_matrix(data, n)
-    apply_p = make_pallas_elasticity(ke, n, tz=tz, interpret=True)
+    apply_p = make_pallas_elasticity(ke, n, tz=tz, dtype=disc.dtype,
+                                     interpret=True)
     y = np.asarray(apply_p(u))
     y_ref = np.asarray(disc.elasticity(u))
     scale = np.abs(y_ref).max()
-    np.testing.assert_allclose(y, y_ref, atol=2e-5 * scale)
+    np.testing.assert_allclose(y, y_ref, atol=1e-11 * scale)
