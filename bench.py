@@ -55,7 +55,13 @@ def build(platform=None, cells=CELLS_PER_AXIS):
         mech_cg_tol=1e-5, mech_cg_relative=True,
         pressure_cg_tol=1e-5, projection_cg_tol=1e-5)
     t0 = time.perf_counter()
-    disc = build_grid_discretization(data, cells_per_axis=cells)
+    # multigrid off: warm-started CG needs only a handful of iterations at
+    # these relative tolerances, and the GMG coarse-level conv graphs
+    # currently fault the TPU Mosaic runtime at this size (known issue;
+    # GMG is exercised in the f64/CPU test suite where it cuts cold-solve
+    # iterations 264 -> 8)
+    disc = build_grid_discretization(data, cells_per_axis=cells,
+                                     multigrid="off")
     solver = FixedStressSolver(disc, data)
     setup_s = time.perf_counter() - t0
     n_dofs = disc.n_pdofs + disc.n_udofs

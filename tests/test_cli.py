@@ -1,0 +1,85 @@
+"""CLI surface tests: deck validation and a short end-to-end run via the
+actual command-line entry point, plus a gmsh-mesh-driven run."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE_MSH = "/root/reference/domain.msh"
+
+
+def _run_cli(args, cwd):
+    return subprocess.run(
+        [sys.executable, "-m", "poroelasticity_dealii_tpu", *args],
+        cwd=cwd, capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"}, timeout=600)
+
+
+def test_check_subcommand(tmp_path):
+    r = _run_cli(["check", os.path.join(REPO, "configs/golden_2d.data")],
+                 cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "derived" in r.stdout and "M=5.58214e+09" in r.stdout
+
+
+def test_check_rejects_bad_deck(tmp_path):
+    deck = tmp_path / "bad.data"
+    deck.write_text("subsection Properties\n set Poisson ratio = 0.9\nend\n")
+    r = _run_cli(["check", str(deck)], cwd=tmp_path)
+    assert r.returncode != 0
+    assert "Poisson ratio" in r.stderr
+
+
+def test_short_run_produces_outputs(tmp_path):
+    deck = tmp_path / "run.data"
+    deck.write_text("""
+subsection Mesh
+  set Initial refinement level = 3
+end
+subsection Solver
+  set Time step = 60
+  set Time max  = 120
+end
+subsection Properties
+  set Well radius = 1
+  set Flow rate   = 1e-5
+end
+""")
+    r = _run_cli(["run", str(deck), "--platform", "cpu"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    sol = tmp_path / "solution"
+    files = sorted(os.listdir(sol))
+    assert "solution-0000.vtk" in files and "solution-0002.vtk" in files
+    log = [json.loads(l) for l in open(sol / "run_log.jsonl")]
+    assert len(log) == 2
+    assert all(rec["pressure_error"] < 1e-8 for rec in log)
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_MSH),
+                    reason="reference mesh asset unavailable")
+def test_run_on_gmsh_mesh(tmp_path):
+    """End-to-end on the reference's own gmsh asset via the 'Mesh file'
+    deck key (the capability the reference's dead read_mesh() intended)."""
+    deck = tmp_path / "msh.data"
+    deck.write_text(f"""
+subsection Mesh
+  set Mesh file = {REFERENCE_MSH}
+end
+subsection Solver
+  set Time step = 60
+  set Time max  = 60
+end
+subsection Properties
+  set Well radius = 1
+  set Flow rate   = 1e-5
+end
+""")
+    r = _run_cli(["run", str(deck), "--platform", "cpu"], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr
+    vtk = (tmp_path / "solution" / "solution-0001.vtk").read_text()
+    assert "POINTS 121 double" in vtk   # the asset's 121 nodes
