@@ -104,13 +104,43 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
     def _pressure_jacobian_apply(self, x, dt):
         d, data = self.disc, self.data
-        def base(z):
-            return (1.0 / data.m_modulus / dt) * d.mass(z) \
-                + (data.perm / data.visc) * d.laplace(z)
+        fused = self._fused_jacobian_stencil(dt)
+        if fused is not None:
+            base = fused          # ONE conv pair instead of two
+        else:
+            def base(z):
+                return (1.0 / data.m_modulus / dt) * d.mass(z) \
+                    + (data.perm / data.visc) * d.laplace(z)
         hat = d._hcp.constrained(base)
         xm = x * d.free_mask_p
         y = hat(xm)
         return y * d.free_mask_p + x * (1.0 - d.free_mask_p)
+
+    def _fused_jacobian_stencil(self, dt):
+        """Pressure Jacobian (mass/(M dt) + (k/mu) L) folded into a single
+        conv stencil — possible on the conv backend when dt is a static
+        Python number (it is: the deck's fixed time step)."""
+        if not isinstance(dt, (int, float)):
+            return None
+        from .structured import ConvGridDiscretization
+        d, data = self.disc, self.data
+        if not isinstance(d, ConvGridDiscretization):
+            return None
+        cache = self.__dict__.setdefault("_jac_stencils", {})
+        if dt not in cache:
+            from ..ops.stencil import make_stencil_apply
+            from ..ops import dense
+            from .structured import _single_cell_spaces
+            n = d.info_p.cells_per_axis
+            _, sp1, _ = _single_cell_spaces(data, n, d.info_p.degree,
+                                            d.info_u.degree)
+            Me = dense.mass_element_matrices(sp1)[0]
+            Le = dense.laplace_element_matrices(sp1)[0]
+            J = Me / (data.m_modulus * dt) + (data.perm / data.visc) * Le
+            kp = d.info_p.degree
+            cache[dt] = make_stencil_apply(J, kp, kp, 1, 1, d.dim, n,
+                                           d.dtype)
+        return cache[dt]
 
     def _pressure_jacobian_diag(self, dt):
         d, data = self.disc, self.data
@@ -195,11 +225,13 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
     # ---------------- one full time step (jitted) ---------------------------
 
-    @partial(jax.jit, static_argnums=0)
+    @partial(jax.jit, static_argnums=(0, 2))
     def time_step(self, state: State, dt, bc_scale=1.0):
         """One Δt: FSS outer loop over (pressure inner loop, mechanics solve,
         normal-strain projection), then shear strains — all on-chip.
-        ``bc_scale`` scales Dirichlet displacement values (traced)."""
+        ``bc_scale`` scales Dirichlet displacement values (traced).
+        ``dt`` is static (one compile per distinct time step), which lets
+        the pressure Jacobian fold into a single conv stencil."""
         d, data = self.disc, self.data
         dim = d.dim
         vol = VOLUMETRIC_ENTRIES[dim]
