@@ -1,0 +1,37 @@
+"""Fixed-stress convergence-history regression: the golden 2D run's
+per-step iteration counts and residuals are pinned as a committed artifact
+(the BASELINE.md 'matching fixed-stress convergence history' metric)."""
+
+import dataclasses
+import json
+
+import numpy as np
+
+from poroelasticity_dealii_tpu.config import read_input_file
+from poroelasticity_dealii_tpu.solvers import (FixedStressSolver,
+                                               build_discretization)
+from poroelasticity_dealii_tpu.mesh import hyper_rectangle
+
+GOLDEN = "configs/golden_2d.data"
+HISTORY = "tests/data/golden_history.json"
+
+
+def test_golden_fss_history_matches_recorded():
+    with open(HISTORY) as fh:
+        recorded = json.load(fh)
+    data = read_input_file(GOLDEN)
+    mesh = hyper_rectangle(data.domain_size, data.initial_refinement_level)
+    disc = build_discretization(mesh, data)
+    solver = FixedStressSolver(disc, data)
+    state = solver.initial_state()
+    t = 0.0
+    for rec in recorded:
+        t += data.time_step
+        state, s = solver.time_step(state, data.time_step)
+        assert int(s.fss_iterations) == rec["fss_iterations"], t
+        assert int(s.pressure_iterations) == rec["pressure_iterations"], t
+        np.testing.assert_allclose(float(s.pressure_error),
+                                   rec["pressure_error"], rtol=1e-6)
+        hist = [float(x) for x in np.asarray(s.fss_error_history) if x >= 0]
+        np.testing.assert_allclose(hist, rec["fss_error_history"], rtol=1e-6)
+    assert abs(t - 1020.0) < 1e-9  # 17 steps, like the reference's loop
