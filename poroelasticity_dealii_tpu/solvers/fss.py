@@ -116,6 +116,33 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         y = hat(xm)
         return y * d.free_mask_p + x * (1.0 - d.free_mask_p)
 
+    def _pressure_precond(self, dt):
+        """GMG V-cycle for the pressure Jacobian (conv backend + static dt
+        only); None -> caller falls back to Jacobi."""
+        if not isinstance(dt, (int, float)):
+            return None
+        from .structured import ConvGridDiscretization, _gmg_levels
+        d, data = self.disc, self.data
+        if not isinstance(d, ConvGridDiscretization):
+            return None
+        n = d.info_p.cells_per_axis
+        n_levels = _gmg_levels(n, d.dim, d.n_pdofs, "auto",
+                               auto_threshold=30_000, degree=d.info_p.degree,
+                               n_comp=1)
+        if n_levels < 2:
+            return None
+        cache = self.__dict__.setdefault("_p_gmg", {})
+        if dt not in cache:
+            from .multigrid import build_gmg_pressure
+            mesh = d.pressure_space.mesh
+            lo = mesh.vertices.min(axis=0)
+            hi = mesh.vertices.max(axis=0)
+            precond, _ = build_gmg_pressure(
+                data, n_fine=n, n_levels=n_levels, dtype=d.dtype, dt=dt,
+                pressure_degree=d.info_p.degree, lower=lo, upper=hi)
+            cache[dt] = precond
+        return cache[dt]
+
     def _fused_jacobian_stencil(self, dt):
         """Pressure Jacobian (mass/(M dt) + (k/mu) L) folded into a single
         conv stencil — possible on the conv backend when dt is a static
@@ -251,6 +278,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             system; the predictor eps_v += (b/K) dp applies BEFORE each
             residual (PoroElasticPressureSolver.h:187-194)."""
             jac_diag = self._pressure_jacobian_diag(dt)
+            p_precond = self._pressure_precond(dt)
 
             r0 = self._pressure_residual(p, p_old, eps_v, eps_v0, dt)
             err0 = jnp.linalg.norm(r0)
@@ -265,7 +293,8 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                                r, self.disc._hcp.zero_hanging(delta_p),
                                jac_diag,
                                tol=data.pressure_cg_tol * jnp.linalg.norm(r),
-                               max_iter=data.cg_max_iterations)
+                               max_iter=data.cg_max_iterations,
+                               precond=p_precond)
                 delta_p = self.disc._hcp.distribute(res.x)
                 p = p + delta_p
                 eps_v = eps_v + (data.biot_coef / data.bulk_modulus) * delta_p

@@ -1,28 +1,29 @@
-"""Geometric multigrid preconditioner for the structured elasticity solve.
+"""Geometric multigrid preconditioners on structured grids.
 
-The reference preconditions its elasticity CG with SSOR
-(``PoroElasticDisplacementSolver.h:302``) — a sequential sweep that cannot
-vectorize.  The TPU-native answer at scale is a geometric V-cycle over the
-structured grid hierarchy:
+The reference preconditions its CG solves with SSOR
+(``PoroElasticDisplacementSolver.h:302`` etc.) — a sequential sweep that
+cannot vectorize.  The TPU-native answer at scale is a geometric V-cycle
+over the structured grid hierarchy, generic over the FE space:
 
-* every level's operator is the same two-conv stencil apply (ops/stencil.py)
-  with the level's (uniform) element matrix and Dirichlet mask;
+* every level's operator is the two-conv stencil apply (ops/stencil.py)
+  built from that level's (uniform) element matrix, Dirichlet-masked;
 * smoothers are Chebyshev-accelerated Jacobi (pure applies, no dot products
   — fully parallel, and a *fixed* polynomial, so the V-cycle is a fixed SPD
   linear operator, legal as a CG preconditioner);
-* grid transfers are the Q2 finite-element embedding, expressed with the
-  same conv machinery (gather over coarse cells -> 125x27 local embedding
-  matrix -> one-hot scatter on the fine grid), with exact boundary handling
-  via a multiplicity normalization;
+* grid transfers are the Q_k finite-element embedding, expressed as
+  parity-decomposed stride-k convs (the single dilated-conv formulation
+  triggers an XLA-TPU space_to_batch crash) with exact boundary handling
+  via multiplicity normalization; R = P^T exactly;
 * the coarsest level is solved exactly with a precomputed dense inverse.
 
-Requires the fine cell count divisible by 2**(n_levels-1).
+Used for the Q2 elasticity solve (``build_gmg_elasticity``) and the Q1
+pressure Jacobian (``build_gmg_pressure``).  Requires the fine cell count
+divisible by 2**(n_levels-1).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, List
 
 import numpy as np
@@ -31,12 +32,15 @@ import jax
 import jax.numpy as jnp
 
 from ..config import InputData
+from ..mesh.generator import hyper_rectangle
+from ..mesh.qk import build_fe_space
 from ..mesh.structured import build_structured_space, structured_mesh
 from ..ops import dense
 from ..ops.shape import node_lattice, shape_tables
-from ..ops.stencil import make_stencil_apply
-from .discretization import _dirichlet_constraints
+from ..ops.stencil import (_scatter_kernel, _to_kernel, conv_cellwise,
+                           conv_scatter, make_stencil_apply)
 from ..ops import operators as ops
+from .discretization import _dirichlet_constraints, _pressure_dirichlet
 
 
 # ---------------------------------------------------------------------------
@@ -46,8 +50,8 @@ from ..ops import operators as ops
 def chebyshev_smooth(apply_a: Callable, inv_diag, b, degree: int,
                      lmax: float, lmin: float):
     """Approximate A^{-1} b by a degree-``degree`` Chebyshev polynomial of
-    the Jacobi-preconditioned operator, targeting the spectrum
-    [lmin, lmax] of D^{-1}A.  Starts from x = 0."""
+    the Jacobi-preconditioned operator, targeting [lmin, lmax] of D^{-1}A.
+    Starts from x = 0."""
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
     sigma = theta / delta
@@ -81,41 +85,23 @@ def estimate_lmax(apply_a: Callable, inv_diag, n: int, dtype,
 
 
 # ---------------------------------------------------------------------------
-# level construction
+# transfers: parity-decomposed Q_k embedding
 # ---------------------------------------------------------------------------
 
-@dataclasses.dataclass
-class _Level:
-    n_cells: int
-    apply: Callable            # Dirichlet-masked elasticity apply
-    inv_diag: jnp.ndarray
-    free_mask: jnp.ndarray
-    lmax: float
-    prolong: Callable = None   # from next-coarser level to this one
-    restrict: Callable = None  # from this level to next-coarser
-
-
-def _parity_embedding_matrices(dim: int):
-    """Q2 embedding split per fine-subcell parity.
-
-    Returns ``E_s`` of shape ``(2^dim, 3^dim*dim, 3^dim*dim)``:
-    for fine cell ``2c+s`` inside coarse cell ``c``, local fine-node values
-    = ``E_s @`` coarse-cell local values.  (The single-conv 5-window/
-    dilation-4 formulation tickles an XLA-TPU space_to_batch compiler
-    crash; this parity split keeps every conv at the well-tested
-    3-window/stride-2 shape.)
-    """
-    lat = node_lattice(2, dim).astype(np.float64) / 2.0   # in [0,1]
+def _parity_embedding_matrices(dim: int, degree: int, n_comp: int):
+    """Q_degree embedding split per fine-subcell parity: (2^dim, NL, NL)
+    with NL = (degree+1)^dim * n_comp."""
+    lat = node_lattice(degree, dim).astype(np.float64) / degree  # in [0,1]
     mats = []
     for s in range(2 ** dim):
         bits = [(s >> d) & 1 for d in range(dim)]
         pts = np.stack([(bits[d] + lat[:, d]) / 2.0 for d in range(dim)],
                        axis=-1) * 2.0 - 1.0
-        phi, _ = shape_tables(2, dim, pts)                # (3^d, 3^d)
+        phi, _ = shape_tables(degree, dim, pts)
         nf, nc = phi.shape
-        E = np.zeros((nf * dim, nc * dim))
-        for i in range(dim):
-            E[i::dim, i::dim] = phi
+        E = np.zeros((nf * n_comp, nc * n_comp))
+        for i in range(n_comp):
+            E[i::n_comp, i::n_comp] = phi
         mats.append(E)
     return np.stack(mats)
 
@@ -131,122 +117,118 @@ def _deinterleave_parities(v, dim: int, nc: int):
 
 
 def _interleave_parities(vals, dim: int, nc: int):
-    """(2^dim, CH, nc^dim) per-parity cell arrays -> (CH, (2nc)^dim).
-
-    Parity s bits are per-axis (x = bit 0); cell arrays are x-fastest.
-    """
+    """(2^dim, CH, nc^dim) per-parity cell arrays -> (CH, (2nc)^dim)."""
     ch = vals.shape[1]
     v = vals.reshape((2,) * dim + (ch,) + (nc,) * dim)
-    # v[s_z.., ch, cz..]: interleave axis pairs -> (ch, nc,2, nc,2, ...)
-    # target fine index along axis d: 2*c_d + s_d
-    # bring each parity axis next to its cell axis
-    # parity axes: 0..dim-1 ordered (x=axis dim-1 ... wait: s bits d=x..)
-    # s index decomposed C-order: first axis = most significant bit = z
-    perm = [dim]  # channel axis first
-    for d in range(dim):           # spatial z..x
-        cell_axis = dim + 1 + d
-        parity_axis = d            # z-parity is axis 0 (most significant)
-        perm += [cell_axis, parity_axis]
+    perm = [dim]
+    for d in range(dim):
+        perm += [dim + 1 + d, d]
     v = v.transpose(perm)
     return v.reshape(ch, *((2 * nc,) * dim))
 
 
-def build_gmg_elasticity(data: InputData, n_fine: int, n_levels: int,
-                         dtype, displacement_degree: int = 2,
-                         smoother_degree: int = 3,
-                         lower=None, upper=None,
-                         smoother_precision=None):
-    """Build a V-cycle preconditioner for the Dirichlet-masked elasticity
-    operator on an ``n_fine``-cells-per-axis structured grid.
+# ---------------------------------------------------------------------------
+# generic V-cycle builder
+# ---------------------------------------------------------------------------
 
-    Returns ``precond(r) -> z`` (a fixed SPD linear operator).
+@dataclasses.dataclass
+class _Level:
+    n_cells: int
+    apply: Callable            # Dirichlet-masked operator apply
+    inv_diag: jnp.ndarray
+    free_mask: jnp.ndarray
+    lmax: float
+    prolong: Callable = None   # from next-coarser level to this one
+    restrict: Callable = None  # from this level to next-coarser
+
+
+def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
+              element_matrix_fn: Callable[[int], np.ndarray],
+              degree: int, n_comp: int,
+              free_mask_fn: Callable,
+              smoother_degree: int = 3, smoother_precision=None,
+              lower=None, upper=None):
+    """Build a V-cycle preconditioner for a Q_degree operator on an
+    ``n_fine``-cells-per-axis structured grid.
+
+    Args:
+      element_matrix_fn: ``n_cells_per_axis -> (NL, NL)`` uniform-cell
+        element matrix of the operator at that level.
+      free_mask_fn: ``(mesh, space) -> bool (n_dofs,)`` free-dof mask.
+    Returns ``(precond, levels)``.
     """
-    if displacement_degree != 2:
-        raise NotImplementedError("GMG transfer assumes Q2 displacement")
     dim = data.dim
-    lam, mu = data.lame_constant, data.shear_modulus
     sizes = [n_fine // (2 ** l) for l in range(n_levels)]
     for l, s in enumerate(sizes[1:], 1):
         if s * (2 ** l) != n_fine:
             raise ValueError(f"n_fine={n_fine} not divisible for level {l}")
 
-    E = _parity_embedding_matrices(dim)
+    import jax.lax as lax
+    prec = smoother_precision or lax.Precision.HIGHEST
+    E = _parity_embedding_matrices(dim, degree, n_comp)
+    n_local = ((degree + 1) ** dim) * n_comp
 
     levels: List[_Level] = []
-    coarse_space = None
     for l, n in enumerate(sizes):
         mesh = structured_mesh(data.domain_size[:dim], n,
                                lower=lower, upper=upper)
-        u_space, _ = build_structured_space(mesh, n, 2)
-        free_np, _ = _dirichlet_constraints(mesh, u_space, data)
+        space, _ = build_structured_space(mesh, n, degree)
+        free_np = free_mask_fn(mesh, space, n_comp)
         free = jnp.asarray(free_np.astype(np.float64), dtype)
-        # element matrix of this level's (uniform) cell
-        h = [data.domain_size[d] / n for d in range(dim)]
-        from ..mesh.generator import hyper_rectangle
-        from ..mesh.qk import build_fe_space
-        cell_mesh = hyper_rectangle(h, cells_per_axis=1)
-        su1 = build_fe_space(cell_mesh, 2)
-        Ke = dense.elasticity_element_matrices(su1, lam, mu)[0]
-        import jax.lax as lax
-        prec = smoother_precision or lax.Precision.HIGHEST
-        raw = make_stencil_apply(Ke, 2, 2, dim, dim, dim, n, dtype,
-                                 precision=prec)
+        Ke = element_matrix_fn(n)
+        raw = make_stencil_apply(Ke, degree, degree, n_comp, n_comp, dim, n,
+                                 dtype, precision=prec)
         apply = ops.constrained_apply(raw, free)
-        # diagonal via the generic scatter (setup-only)
-        conn_u = jnp.asarray(
-            np.ascontiguousarray(u_space.vector_cell_dofs(dim).T))
-        from ..ops.quadrature import gauss_tensor
-        from ..ops.geometry import geometry_factors
-        pts, wts = gauss_tensor(3, dim)
-        jinv, jxw = geometry_factors(cell_mesh.vertices[cell_mesh.cells],
-                                     pts, wts)
-        jinv_t = jnp.asarray(np.transpose(np.asarray(jinv), (1, 2, 3, 0)),
-                             dtype)
-        jxw_t = jnp.asarray(np.asarray(jxw).T, dtype)
-        diag = ops.elasticity_diagonal(conn_u, jnp.asarray(
-            shape_tables(2, dim, pts)[1], dtype), jinv_t, jxw_t, lam, mu,
-            u_space.n_nodes * dim)
-        diag = jnp.where(free > 0, diag, jnp.ones((), dtype))
-        inv_diag = 1.0 / diag
-        lmax = estimate_lmax(apply, inv_diag, u_space.n_nodes * dim, dtype)
+        # diagonal: scatter the (uniform) element-matrix diagonal
+        conn = space.vector_cell_dofs(n_comp) if n_comp > 1 \
+            else space.cell_nodes
+        diag_np = np.zeros(space.n_nodes * n_comp)
+        np.add.at(diag_np, conn.astype(np.int64).reshape(-1),
+                  np.broadcast_to(np.diag(Ke),
+                                  (conn.shape[0], n_local)).reshape(-1))
+        diag_np = np.where(free_np, diag_np, 1.0)
+        inv_diag = jnp.asarray(1.0 / diag_np, dtype)
+        lmax = estimate_lmax(apply, inv_diag, space.n_nodes * n_comp, dtype)
         levels.append(_Level(n_cells=n, apply=apply, inv_diag=inv_diag,
                              free_mask=free, lmax=lmax * 1.1))
-        coarse_space = u_space
         if l > 0:
-            nc = n  # this level IS the coarser one of the pair (l-1, l)
+            nc = n
             nf = 2 * nc
-            from ..ops.stencil import (_scatter_kernel, _to_kernel,
-                                       conv_cellwise, conv_scatter)
-            n_local = (3 ** dim) * dim
             ident_k = jnp.asarray(
-                _to_kernel(np.eye(n_local), dim, 2, dim), dtype)
-            scat_f = jnp.asarray(
-                _scatter_kernel(dim, 3 ** dim, dim, 2, dim), dtype)
-            scat_c = scat_f
-            Es = jnp.asarray(E, dtype)            # (2^dim, n_local, n_local)
-            g_c, g_f = 2 * nc + 1, 2 * nf + 1
+                _to_kernel(np.eye(n_local), n_comp, degree, dim), dtype)
+            scat = jnp.asarray(
+                _scatter_kernel(n_comp, (degree + 1) ** dim, n_comp, degree,
+                                dim), dtype)
+            Es = jnp.asarray(E, dtype)
+            g_c = degree * nc + 1
+            g_f = degree * nf + 1
 
-            def raw_p(xc, _Es=Es, _ik=ident_k, _sf=scat_f, _nc=nc, _nf=nf,
+            def raw_p(xc, _Es=Es, _ik=ident_k, _s=scat, _nc=nc, _nf=nf,
                       _gc=g_c):
-                uc = conv_cellwise(xc, _ik, 2, dim, dim, _gc)  # (NL, nc^d)
+                uc = conv_cellwise(xc, _ik, degree, dim, n_comp, _gc,
+                                   precision=prec)
                 ye = jnp.einsum("sab,bE->saE", _Es, uc)
                 ye_f = _interleave_parities(ye, dim, _nc)
-                return conv_scatter(ye_f.reshape(ye.shape[1], -1), _sf, 2,
-                                    dim, dim, _nf)
+                return conv_scatter(ye_f.reshape(ye.shape[1], -1), _s,
+                                    degree, dim, n_comp, _nf,
+                                    precision=prec)
 
-            mult = raw_p(jnp.ones((u_space.n_nodes * dim,), dtype))
+            mult = raw_p(jnp.ones((levels[l].free_mask.shape[0],), dtype))
             inv_mult = 1.0 / mult
 
-            def raw_r(yf, _Es=Es, _ik=ident_k, _sc=scat_c, _nc=nc, _nf=nf):
-                ye_f = conv_cellwise(yf, _ik, 2, dim, dim, 2 * _nf + 1)
+            def raw_r(yf, _Es=Es, _ik=ident_k, _s=scat, _nc=nc, _nf=nf,
+                      _gf=g_f):
+                ye_f = conv_cellwise(yf, _ik, degree, dim, n_comp, _gf,
+                                     precision=prec)
                 ye = _deinterleave_parities(ye_f, dim, _nc)
                 zc = jnp.einsum("sab,saE->bE", _Es, ye)
-                return conv_scatter(zc, _sc, 2, dim, dim, _nc)
+                return conv_scatter(zc, _s, degree, dim, n_comp, _nc,
+                                    precision=prec)
 
             fine_free = levels[l - 1].free_mask
             coarse_free = free
 
-            # P = diag(ff * 1/mult) raw_p diag(cf);  R = P^T exactly
+            # P = diag(ff/mult) raw_p diag(cf); R = P^T exactly
             def prolong(xc, _rp=raw_p, _im=inv_mult, _ff=fine_free,
                         _cf=coarse_free):
                 return _rp(xc * _cf) * _im * _ff
@@ -259,17 +241,20 @@ def build_gmg_elasticity(data: InputData, n_fine: int, n_levels: int,
             levels[l - 1].restrict = restrict
 
     # coarsest: dense inverse of the masked operator (host, float64)
-    mesh_c = structured_mesh(data.domain_size[:dim], sizes[-1],
+    n_c = sizes[-1]
+    mesh_c = structured_mesh(data.domain_size[:dim], n_c,
                              lower=lower, upper=upper)
-    space_c, _ = build_structured_space(mesh_c, sizes[-1], 2)
-    conn_c = space_c.vector_cell_dofs(dim)
+    space_c, _ = build_structured_space(mesh_c, n_c, degree)
+    conn_c = space_c.vector_cell_dofs(n_comp) if n_comp > 1 \
+        else space_c.cell_nodes
+    Ke_c = element_matrix_fn(n_c)
     Kg = dense.assemble_global(
-        dense.elasticity_element_matrices(space_c, lam, mu), conn_c,
-        space_c.n_nodes * dim).toarray()
-    free_c, _ = _dirichlet_constraints(mesh_c, space_c, data)
+        np.broadcast_to(Ke_c, (mesh_c.n_cells,) + Ke_c.shape), conn_c,
+        space_c.n_nodes * n_comp).toarray()
+    free_c = free_mask_fn(mesh_c, space_c, n_comp)
     Kg[~free_c, :] = 0.0
     Kg[:, ~free_c] = 0.0
-    Kg[~free_c, ~free_c] = 1.0
+    Kg[np.ix_(~free_c, ~free_c)] = np.eye((~free_c).sum())
     coarse_inv = jnp.asarray(np.linalg.inv(Kg), dtype)
 
     def coarse_solve(r):
@@ -293,3 +278,59 @@ def build_gmg_elasticity(data: InputData, n_fine: int, n_levels: int,
         return vcycle(0, r)
 
     return precond, levels
+
+
+# ---------------------------------------------------------------------------
+# concrete builders
+# ---------------------------------------------------------------------------
+
+def _uniform_cell_space(data: InputData, n: int, degree: int):
+    dim = data.dim
+    h = [data.domain_size[d] / n for d in range(dim)]
+    cell_mesh = hyper_rectangle(h, cells_per_axis=1)
+    return build_fe_space(cell_mesh, degree)
+
+
+def build_gmg_elasticity(data: InputData, n_fine: int, n_levels: int,
+                         dtype, displacement_degree: int = 2,
+                         smoother_degree: int = 3,
+                         lower=None, upper=None, smoother_precision=None):
+    """V-cycle for the Dirichlet-masked Q2 elasticity operator."""
+    if displacement_degree != 2:
+        raise NotImplementedError("GMG transfer assumes Q2 displacement")
+    dim = data.dim
+    lam, mu = data.lame_constant, data.shear_modulus
+
+    def emat(n):
+        su1 = _uniform_cell_space(data, n, 2)
+        return dense.elasticity_element_matrices(su1, lam, mu)[0]
+
+    def fmask(mesh, space, n_comp):
+        free, _ = _dirichlet_constraints(mesh, space, data)
+        return free
+
+    return build_gmg(data, n_fine, n_levels, dtype, emat, 2, dim, fmask,
+                     smoother_degree=smoother_degree,
+                     smoother_precision=smoother_precision,
+                     lower=lower, upper=upper)
+
+
+def build_gmg_pressure(data: InputData, n_fine: int, n_levels: int, dtype,
+                       dt: float, pressure_degree: int = 1,
+                       smoother_degree: int = 2,
+                       lower=None, upper=None, smoother_precision=None):
+    """V-cycle for the pressure Jacobian mass/(M dt) + (k/mu) L."""
+    def emat(n):
+        sp1 = _uniform_cell_space(data, n, pressure_degree)
+        Me = dense.mass_element_matrices(sp1)[0]
+        Le = dense.laplace_element_matrices(sp1)[0]
+        return Me / (data.m_modulus * dt) + (data.perm / data.visc) * Le
+
+    def fmask(mesh, space, n_comp):
+        free, _ = _pressure_dirichlet(mesh, space, data)
+        return free
+
+    return build_gmg(data, n_fine, n_levels, dtype, emat, pressure_degree,
+                     1, fmask, smoother_degree=smoother_degree,
+                     smoother_precision=smoother_precision,
+                     lower=lower, upper=upper)

@@ -292,14 +292,18 @@ def build_grid_discretization(data: InputData,
     return d
 
 
-def _gmg_levels(n: int, dim: int, n_udofs: int, multigrid: str) -> int:
+def _gmg_levels(n: int, dim: int, n_dofs: int, multigrid: str,
+                auto_threshold: int = 150_000, degree: int = 2,
+                n_comp: int = None) -> int:
     """Pick the V-cycle depth: deepest hierarchy with divisible cell counts,
     coarse grid >= 4 cells, and a dense-invertible coarsest level.  'auto'
     enables GMG only when the problem is big enough to amortize setup."""
     if multigrid in ("off", "false", False, None):
         return 1
-    if multigrid == "auto" and n_udofs < 150_000:
+    if multigrid == "auto" and n_dofs < auto_threshold:
         return 1
+    if n_comp is None:
+        n_comp = dim
     best = 1
     L = 1
     while True:
@@ -309,6 +313,6 @@ def _gmg_levels(n: int, dim: int, n_udofs: int, multigrid: str) -> int:
         nc = n // (2 ** (L - 1))
         if nc < 4:
             break
-        if dim * (2 * nc + 1) ** dim <= 8000:
+        if n_comp * (degree * nc + 1) ** dim <= 8000:
             best = L
     return best
