@@ -1,0 +1,77 @@
+"""Utility-layer tests: checkpointing, logging, profiling, VTK."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from poroelasticity_dealii_tpu.solvers.fss import State, StepStats
+from poroelasticity_dealii_tpu.utils.checkpoint import (load_checkpoint,
+                                                        save_checkpoint)
+from poroelasticity_dealii_tpu.utils.logging_utils import RunLogger
+from poroelasticity_dealii_tpu.utils.profiling import PhaseTimer
+
+
+def _state(n=7):
+    rng = np.random.default_rng(0)
+    return State(p=jnp.asarray(rng.standard_normal(n)),
+                 u=jnp.asarray(rng.standard_normal(2 * n)),
+                 eps_v=jnp.asarray(rng.standard_normal(n)),
+                 eps_v0=jnp.asarray(rng.standard_normal(n)),
+                 strains=jnp.asarray(rng.standard_normal((3, n))))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    st = _state()
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, st, time_=123.5, step=7, meta={"note": "x"})
+    st2, t, step = load_checkpoint(path)
+    assert t == 123.5 and step == 7
+    for a, b in zip(st, st2):
+        np.testing.assert_allclose(a, b)
+
+
+def test_checkpoint_version_guard(tmp_path):
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, _state(), 0.0, 0)
+    data = dict(np.load(path))
+    data["version"] = 999
+    np.savez(path, **data)
+    with pytest.raises(ValueError):
+        load_checkpoint(path)
+
+
+def test_run_logger_jsonl(tmp_path):
+    path = str(tmp_path / "log.jsonl")
+    logger = RunLogger(path, echo=False)
+    stats = StepStats(
+        fss_iterations=jnp.int32(1), pressure_error=jnp.float64(1e-9),
+        pressure_iterations=jnp.int32(3),
+        pressure_cg_iterations=jnp.int32(10),
+        mech_cg_iterations=jnp.int32(20),
+        projection_cg_iterations=jnp.int32(5),
+        fss_error_history=jnp.asarray([1e-9, -1.0, -1.0]),
+        cg_converged=jnp.bool_(True))
+    logger.log_step(1, 60.0, stats, 0.01, extra={"n_cells": 4})
+    logger.close()
+    rec = json.loads(open(path).read())
+    assert rec["fss_iterations"] == 1
+    assert rec["cg_iterations"] == {"pressure": 10, "mechanics": 20,
+                                    "projection": 5}
+    assert rec["fss_error_history"] == [1e-9]
+    assert rec["n_cells"] == 4
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        sum(range(1000))
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    assert "a" in t.report()
