@@ -93,13 +93,28 @@ class AMRSimulationRunner:
             eps_v0=jnp.asarray(moved[2], dt),
             strains=jnp.zeros((n_voigt, self.disc.n_pdofs), dt))
 
+    def _output(self, state: State, step: int):
+        if not self.data.output_vtk:
+            return
+        import os
+
+        from ..utils.vtk_io import (displacement_at_pressure_nodes,
+                                    write_vtk)
+        sp = self.disc.pressure_space
+        su = self.disc.displacement_space
+        u_p = displacement_at_pressure_nodes(sp, su, np.asarray(state.u))
+        stresses = np.asarray(self.solver.effective_stresses(state.strains))
+        path = os.path.join(self.data.output_directory,
+                            f"solution-{step:04d}.vtk")
+        write_vtk(path, sp, u_p, np.asarray(state.p),
+                  np.asarray(state.strains), stresses)
+
     def run(self, n_steps: Optional[int] = None):
         data = self.data
         state = self.solver.initial_state()
+        self._output(state, 0)
         t, step = 0.0, 0
         history = []
-        total = n_steps if n_steps is not None else int(
-            np.ceil(data.t_max / data.time_step))
         while (t < data.t_max) and (n_steps is None or step < n_steps):
             t += data.time_step
             step += 1
@@ -117,4 +132,5 @@ class AMRSimulationRunner:
             if self.logger:
                 self.logger.log_step(step, t, stats, wall,
                                      extra={"n_cells": self.disc.n_cells})
+            self._output(state, step)
         return state, history
