@@ -252,13 +252,23 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
     # ---------------- one full time step (jitted) ---------------------------
 
-    @partial(jax.jit, static_argnums=(0, 2))
     def time_step(self, state: State, dt, bc_scale=1.0):
         """One Δt: FSS outer loop over (pressure inner loop, mechanics solve,
         normal-strain projection), then shear strains — all on-chip.
         ``bc_scale`` scales Dirichlet displacement values (traced).
         ``dt`` is static (one compile per distinct time step), which lets
-        the pressure Jacobian fold into a single conv stencil."""
+        the pressure Jacobian fold into a single conv stencil.
+
+        This host wrapper warms the per-dt caches (fused Jacobian stencil,
+        pressure multigrid — their construction runs eager device code like
+        power iterations that must not happen inside a trace)."""
+        if isinstance(dt, (int, float)):
+            self._fused_jacobian_stencil(dt)
+            self._pressure_precond(dt)
+        return self._time_step_impl(state, dt, bc_scale)
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _time_step_impl(self, state: State, dt, bc_scale=1.0):
         d, data = self.disc, self.data
         dim = d.dim
         vol = VOLUMETRIC_ENTRIES[dim]
