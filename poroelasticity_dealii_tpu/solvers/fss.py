@@ -85,8 +85,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         # ``bc_scale * lift``.
         d = self.disc
         k_hat = d._hcu.constrained(d.elasticity)
+        # under jit so sharding-constrained (GSPMD) applies accept uneven
+        # grid dimensions (the eager path enforces divisibility)
+        lift = jax.jit(k_hat)(d.dirichlet_values)
         object.__setattr__(self, "_elasticity_lift",
-                           jax.block_until_ready(k_hat(d.dirichlet_values)))
+                           jax.block_until_ready(lift))
 
     # ---------------- pressure system pieces -------------------------------
 
