@@ -108,7 +108,9 @@ def run_from_deck(path: str, resume_from: Optional[str] = None) -> State:
         jax.config.update("jax_debug_nans", True)
     if data.amr:
         from ..amr.driver import AMRSimulationRunner
-        runner = AMRSimulationRunner(data)
+        runner = AMRSimulationRunner(
+            data, logger=RunLogger(
+                os.path.join(data.output_directory, "run_log.jsonl")))
         state, _ = runner.run()
         return state
     runner = SimulationRunner(data)

@@ -87,7 +87,10 @@ def _kernel(uin_hbm, ke_ref, out_ref, scratch, sem, *, n: int, tz: int):
     dma.wait()
 
     lat = node_lattice(2, 3)                       # (27, 3) x-first
-    acc = jnp.zeros((8, tz, n + 1, n + 1, 3), out_ref.dtype)
+    # accumulator as plain per-(parity, plane) arrays: contributions are
+    # merged with padded whole-array adds — Mosaic has no scatter-add
+    acc = [[jnp.zeros((n + 1, n + 1, 3), out_ref.dtype)
+            for _ in range(tz)] for _ in range(8)]
 
     for zr in range(tz + 1):                       # cell layer zc = z0-1+zr
         # ---- gather: contiguous shifted slices of the parity grids ----
@@ -116,9 +119,11 @@ def _kernel(uin_hbm, ke_ref, out_ref, scratch, sem, *, n: int, tz: int):
             if 0 <= t_rel < tz:
                 contrib = ye[:, :, a, :]
                 sy, sx = oy // 2, ox // 2
-                acc = acc.at[q, t_rel, sy:sy + n, sx:sx + n, :].add(contrib)
+                padded = jnp.pad(contrib, ((sy, 1 - sy), (sx, 1 - sx),
+                                           (0, 0)))
+                acc[q][t_rel] = acc[q][t_rel] + padded
 
-    out_ref[...] = acc
+    out_ref[...] = jnp.stack([jnp.stack(rows) for rows in acc])
 
 
 def make_pallas_elasticity(element_matrix: np.ndarray, n: int,
