@@ -6,15 +6,21 @@ kernel fuses gather -> element-matrix matmul (MXU) -> scatter inside VMEM
 over z-slabs of cells, reducing HBM traffic to ~(1 + 1/Tz) reads + 1 write
 of the dof grid — the memory floor for a stencil operator.
 
-Key layout trick: the node grid is pre-split (host side, cheap) into its
-8 per-axis **parity subgrids**.  Every per-cell local-dof gather and every
-assembly scatter then becomes a *contiguous* shifted slice of one parity
-grid — no strided memory ops inside the kernel, which Mosaic handles well.
-Slab boundaries are covered by recomputing one halo cell layer, so output
-blocks stay disjoint (no cross-block accumulation).
+Key layout tricks (all for Mosaic-friendliness):
 
-Correctness is verified against the conv path in interpret mode and on
-device (tests/test_pallas.py).
+* the node grid is pre-split (host side, cheap) into its 8 per-axis
+  **parity subgrids**, stored z-major-interleaved as a rank-4 array
+  ``(z*8+q, n+1, n+1, 3)`` — every slab's input range and output block is
+  one contiguous row range (single DMA, plain BlockSpec);
+* every per-cell local-dof gather and every assembly scatter is a
+  *contiguous* shifted slice of one parity plane — no strided memory ops,
+  no scatter/pad primitives in-kernel (shift placement via concatenation
+  with zero borders);
+* slab boundaries are covered by recomputing one halo cell layer, so
+  output blocks stay disjoint.
+
+Correctness is verified against the conv path in interpret mode
+(tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -43,11 +49,8 @@ def elasticity_element_matrix(data, n: int, dim: int = 3) -> np.ndarray:
 
 
 def split_parities(U, n: int):
-    """(2n+1, 2n+1, 2n+1, 3) node grid -> (8, n+1, n+1, n+1, 3).
-
-    Parity index q = px + 2*py + 4*pz; odd-parity axes (n entries) are
-    zero-padded to n+1.
-    """
+    """(2n+1, 2n+1, 2n+1, 3) node grid -> (8, n+1, n+1, n+1, 3);
+    parity q = px + 2*py + 4*pz; odd axes zero-padded to n+1."""
     parts = []
     for q in range(8):
         px, py, pz = q & 1, (q >> 1) & 1, (q >> 2) & 1
@@ -64,66 +67,73 @@ def merge_parities(parts, n: int):
     U = jnp.zeros((g, g, g, parts.shape[-1]), parts.dtype)
     for q in range(8):
         px, py, pz = q & 1, (q >> 1) & 1, (q >> 2) & 1
-        nz = n + 1 - pz
-        ny = n + 1 - py
-        nx = n + 1 - px
+        nz, ny, nx = n + 1 - pz, n + 1 - py, n + 1 - px
         U = U.at[pz::2, py::2, px::2, :].set(parts[q, :nz, :ny, :nx, :])
     return U
 
 
-def _kernel(uin_hbm, ke_ref, out_ref, scratch, sem, *, n: int, tz: int):
-    """One z-slab of tz cell layers (plus one recomputed halo layer).
+def _place(contrib, sy: int, sx: int, n: int):
+    """Pad an (n, n, 3) block into (n+1, n+1, 3) at offset (sy, sx) using
+    concatenation with zero borders (Mosaic-safe)."""
+    dtype = contrib.dtype
+    rows = [contrib]
+    if sx == 0:
+        rows = [jnp.concatenate(
+            [contrib, jnp.zeros((n, 1, 3), dtype)], axis=1)]
+    else:
+        rows = [jnp.concatenate(
+            [jnp.zeros((n, 1, 3), dtype), contrib], axis=1)]
+    body = rows[0]
+    if sy == 0:
+        return jnp.concatenate([body, jnp.zeros((1, n + 1, 3), dtype)],
+                               axis=0)
+    return jnp.concatenate([jnp.zeros((1, n + 1, 3), dtype), body], axis=0)
 
-    uin_hbm: (8, n+2+tz, n+1, n+1, 3) parity grids, z-padded by 1 in front.
-    out_ref block: (8, tz, n+1, n+1, 3) — owned parity-z range.
-    scratch: (8, tz+2, n+1, n+1, 3) VMEM.
+
+def _kernel(uin_hbm, ke_ref, out_ref, scratch, sem, *, n: int, tz: int):
+    """One z-slab: cell layers [z0-1, z0+tz), owned parity-z [z0, z0+tz).
+
+    uin_hbm: ((zpad_in)*8, n+1, n+1, 3) z-major parity rows, z-padded by 1.
+    out_ref block: (tz*8, n+1, n+1, 3).
+    scratch: ((tz+2)*8, n+1, n+1, 3) VMEM.
     """
     k = pl.program_id(0)
     z0 = k * tz
 
     dma = pltpu.make_async_copy(
-        uin_hbm.at[:, pl.ds(z0, tz + 2)], scratch, sem)
+        uin_hbm.at[pl.ds(z0 * 8, (tz + 2) * 8)], scratch, sem)
     dma.start()
     dma.wait()
 
     lat = node_lattice(2, 3)                       # (27, 3) x-first
-    # accumulator as plain per-(parity, plane) arrays: contributions are
-    # merged with padded whole-array adds — Mosaic has no scatter-add
     acc = [[jnp.zeros((n + 1, n + 1, 3), out_ref.dtype)
-            for _ in range(tz)] for _ in range(8)]
+            for _ in range(8)] for _ in range(tz)]
 
     for zr in range(tz + 1):                       # cell layer zc = z0-1+zr
-        # ---- gather: contiguous shifted slices of the parity grids ----
         cols = []
         for a in range(27):
             ox, oy, oz = int(lat[a, 0]), int(lat[a, 1]), int(lat[a, 2])
             q = (ox & 1) + 2 * (oy & 1) + 4 * (oz & 1)
-            # padded parity-z index: (zc + oz//2) + 1 - z0 = zr + oz//2
+            row = (zr + oz // 2) * 8 + q           # z-major parity row
             sy, sx = oy // 2, ox // 2
-            sl = scratch[q, zr + oz // 2, sy:sy + n, sx:sx + n, :]
-            cols.append(sl)                        # (n, n, 3)
+            cols.append(scratch[row, sy:sy + n, sx:sx + n, :])
         ue = jnp.concatenate(cols, axis=-1)        # (n, n, 81)
         ye = jnp.dot(ue.reshape(n * n, 81), ke_ref[:].T,
                      preferred_element_type=out_ref.dtype)
-        # mask phantom cell layers (halo below 0 / tail block beyond n-1):
-        # their gathers read real boundary planes, but the cells don't exist
-        zc = z0 - 1 + zr
+        zc = z0 - 1 + zr                           # mask phantom layers
         valid = ((zc >= 0) & (zc < n)).astype(out_ref.dtype)
         ye = (ye * valid).reshape(n, n, 27, 3)
 
-        # ---- scatter: contiguous adds into owned parity planes --------
         for a in range(27):
             ox, oy, oz = int(lat[a, 0]), int(lat[a, 1]), int(lat[a, 2])
             q = (ox & 1) + 2 * (oy & 1) + 4 * (oz & 1)
             t_rel = (zr - 1) + oz // 2             # target parity-z - z0
             if 0 <= t_rel < tz:
-                contrib = ye[:, :, a, :]
-                sy, sx = oy // 2, ox // 2
-                padded = jnp.pad(contrib, ((sy, 1 - sy), (sx, 1 - sx),
-                                           (0, 0)))
-                acc[q][t_rel] = acc[q][t_rel] + padded
+                placed = _place(ye[:, :, a, :], oy // 2, ox // 2, n)
+                acc[t_rel][q] = acc[t_rel][q] + placed
 
-    out_ref[...] = jnp.stack([jnp.stack(rows) for rows in acc])
+    out_ref[...] = jnp.stack([acc[t][q] for t in range(tz)
+                              for q in range(8)])
 
 
 def make_pallas_elasticity(element_matrix: np.ndarray, n: int,
@@ -146,6 +156,9 @@ def make_pallas_elasticity(element_matrix: np.ndarray, n: int,
         parts = split_parities(U, n)               # (8, n+1, n+1, n+1, 3)
         parts = jnp.pad(parts, ((0, 0), (1, zpad_in - (n + 1) - 1),
                                 (0, 0), (0, 0), (0, 0)))
+        # z-major parity rows: (zpad_in*8, n+1, n+1, 3)
+        zin = jnp.moveaxis(parts, 0, 1).reshape(zpad_in * 8, n + 1, n + 1,
+                                                dim)
         out = pl.pallas_call(
             kern,
             grid=(n_blocks,),
@@ -154,18 +167,20 @@ def make_pallas_elasticity(element_matrix: np.ndarray, n: int,
                 pl.BlockSpec((81, 81), lambda k: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((8, tz, n + 1, n + 1, dim),
-                                   lambda k: (0, k, 0, 0, 0),
+            out_specs=pl.BlockSpec((tz * 8, n + 1, n + 1, dim),
+                                   lambda k: (k, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8, zpad_out, n + 1, n + 1, dim),
-                                           dtype),
+            out_shape=jax.ShapeDtypeStruct((zpad_out * 8, n + 1, n + 1,
+                                            dim), dtype),
             scratch_shapes=[
-                pltpu.VMEM((8, tz + 2, n + 1, n + 1, dim), dtype),
+                pltpu.VMEM(((tz + 2) * 8, n + 1, n + 1, dim), dtype),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(parts, ke)
-        Y = merge_parities(out[:, :n + 1], n)
+        )(zin, ke)
+        parts_out = jnp.moveaxis(
+            out.reshape(zpad_out, 8, n + 1, n + 1, dim), 1, 0)
+        Y = merge_parities(parts_out[:, :n + 1], n)
         return Y.reshape(-1)
 
     return apply
