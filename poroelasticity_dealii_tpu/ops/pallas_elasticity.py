@@ -21,6 +21,16 @@ Key layout tricks (all for Mosaic-friendliness):
 
 Correctness is verified against the conv path in interpret mode
 (tests/test_pallas.py).
+
+STATUS: experimental.  Mosaic on the current jax/libtpu stack rejects the
+(rows, n+1, n+1, 3) block layout (trailing dims far below the (8, 128)
+tile; even a trivial DMA+copy kernel on these shapes fails to compile,
+while the same pattern on (128, 256) shapes compiles and runs).  The fix,
+sketched for round 2, is a component-major layout: scratch
+``(3, rows, ny, nx)``, ue as three ``(27, n^2)`` factors with
+``ye = sum_j K_j @ ue_j`` so the lane axis is the n^2 cell dimension.  The
+production elasticity apply remains the conv-stencil path (ops/stencil.py),
+which runs at ~7 ms/apply at 1.66M DOF.
 """
 
 from __future__ import annotations
