@@ -20,7 +20,6 @@ Deliberate differences from the reference (documented, not accidental):
 from __future__ import annotations
 
 import dataclasses
-import re
 from typing import Dict, List, Tuple
 
 MILLIDARCY = 9.869233e-16  # m^2 per mD, InputDataPoroel.h:162

@@ -30,7 +30,6 @@ rollers on x=0 / y=0, and drainage p=0 at x=a.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import numpy as np

@@ -20,7 +20,7 @@ from typing import Optional
 import numpy as np
 
 from ..config import InputData, read_input_file
-from ..mesh import hyper_rectangle, read_msh
+from ..mesh import read_msh
 from ..solvers import FixedStressSolver, build_discretization
 from ..solvers.fss import State
 from ..utils.checkpoint import load_checkpoint, save_checkpoint

@@ -25,7 +25,6 @@ finite-difference replication of its exact update equations
 
 from __future__ import annotations
 
-import dataclasses
 
 import numpy as np
 

@@ -20,11 +20,9 @@ the generic path bit-for-bit (tests/test_stencil.py).
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -24,7 +24,6 @@ as :class:`~..solvers.discretization.Discretization`, the entire
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Sequence
 
 import numpy as np

@@ -22,7 +22,7 @@ from ..config import InputData
 from ..mesh.core import FESpace, Mesh
 from ..mesh.qk import build_fe_space
 from ..ops.geometry import geometry_factors
-from ..ops.quadrature import gauss_1d, gauss_tensor
+from ..ops.quadrature import gauss_tensor
 from ..ops.shape import face_lattice_indices, shape_tables
 from ..ops import operators as ops
 

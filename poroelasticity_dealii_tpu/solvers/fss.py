@@ -28,7 +28,6 @@ import dataclasses
 from functools import partial
 from typing import NamedTuple
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp
