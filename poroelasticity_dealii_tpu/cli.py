@@ -26,6 +26,8 @@ def main(argv=None):
                        help="force float64 (overrides deck TPU/Dtype)")
     run_p.add_argument("--platform", default=None,
                        help="jax platform override (cpu/tpu)")
+    run_p.add_argument("--profile", default=None, metavar="LOGDIR",
+                       help="capture a TensorBoard device trace of the run")
 
     chk = sub.add_parser("check", help="parse + validate a deck, print it")
     chk.add_argument("deck")
@@ -59,10 +61,19 @@ def main(argv=None):
     if args.x64 or data.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     from .models.runner import SimulationRunner, run_from_deck
-    if data.amr:
-        run_from_deck(args.deck, resume_from=args.resume)
+
+    def go():
+        if data.amr:
+            run_from_deck(args.deck, resume_from=args.resume)
+        else:
+            SimulationRunner(data).run(resume_from=args.resume)
+
+    if args.profile:
+        from .utils.profiling import device_trace
+        with device_trace(args.profile):
+            go()
     else:
-        SimulationRunner(data).run(resume_from=args.resume)
+        go()
     return 0
 
 
