@@ -320,8 +320,6 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 cond, body, init)
             return p, eps_v, delta_p, err, k, cg_tot, cg_ok
 
-        n_vol = len(vol)
-
         def fss_cond(c):
             it = c["fss_iter"]
             return (it < max_fss) & (c["err"] > data.fss_tol)
@@ -374,8 +372,12 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             cg_proj = cg_proj + cg_sh
             cg_ok = cg_ok & ok_sh
 
+        # keep the stored eps_v0 = the t=0 strain in BOTH modes (in resync
+        # mode the per-step reference strain is the local eps_v0 variable;
+        # the State field must not drift — it feeds quirk-mode restarts and
+        # checkpoints)
         new_state = State(p=c["p"], u=c["u"], eps_v=c["eps_v"],
-                          eps_v0=eps_v0, strains=strains)
+                          eps_v0=state.eps_v0, strains=strains)
         stats = StepStats(
             fss_iterations=c["fss_iter"], pressure_error=c["err"],
             pressure_iterations=c["press_total"],

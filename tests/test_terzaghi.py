@@ -89,3 +89,18 @@ def test_drained_boundary_pinned():
     coords = disc.pressure_space.node_coords
     top = np.isclose(coords[:, 1], H / 2)
     np.testing.assert_allclose(np.asarray(st.p)[top], 0.0, atol=1e-12)
+
+
+def test_resync_mode_preserves_eps_v0():
+    """The stored eps_v0 must stay the t=0 strain in resync mode (it feeds
+    checkpoints and quirk-mode restarts)."""
+    data = terzaghi_config(level=3, dt=25.0, resync=True)
+    mesh = hyper_rectangle(data.domain_size, 3)
+    disc = build_discretization(mesh, data)
+    solver = FixedStressSolver(disc, data)
+    st0 = solver.initial_state()
+    st = st0
+    for _ in range(3):
+        st, _ = solver.time_step(st, data.time_step)
+    np.testing.assert_allclose(np.asarray(st.eps_v0), np.asarray(st0.eps_v0))
+    assert not np.allclose(np.asarray(st.eps_v), np.asarray(st0.eps_v))
