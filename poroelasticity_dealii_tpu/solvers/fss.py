@@ -135,13 +135,21 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             return None
         cache = self.__dict__.setdefault("_p_gmg", {})
         if dt not in cache:
+            import jax.lax as lax
+
             from .multigrid import build_gmg_pressure
             mesh = d.pressure_space.mesh
             lo = mesh.vertices.min(axis=0)
             hi = mesh.vertices.max(axis=0)
+            # smoothers at default MXU precision in f32 runs: the V-cycle
+            # only needs to approximate A^{-1}; the outer CG operator stays
+            # at HIGHEST precision
+            sp = (lax.Precision.DEFAULT if d.dtype == jnp.float32
+                  else lax.Precision.HIGHEST)
             precond, _ = build_gmg_pressure(
                 data, n_fine=n, n_levels=n_levels, dtype=d.dtype, dt=dt,
-                pressure_degree=d.info_p.degree, lower=lo, upper=hi)
+                pressure_degree=d.info_p.degree, lower=lo, upper=hi,
+                smoother_precision=sp)
             cache[dt] = precond
         return cache[dt]
 
