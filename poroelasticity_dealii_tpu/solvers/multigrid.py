@@ -165,6 +165,9 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
 
     import jax.lax as lax
     prec = smoother_precision or lax.Precision.HIGHEST
+    FULL = lax.Precision.HIGHEST
+    # transfers and the coarse solve always run at full precision; only the
+    # smoother operator applies honor `smoother_precision`
     E = _parity_embedding_matrices(dim, degree, n_comp)
     n_local = ((degree + 1) ** dim) * n_comp
 
@@ -206,12 +209,12 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
             def raw_p(xc, _Es=Es, _ik=ident_k, _s=scat, _nc=nc, _nf=nf,
                       _gc=g_c):
                 uc = conv_cellwise(xc, _ik, degree, dim, n_comp, _gc,
-                                   precision=prec)
-                ye = jnp.einsum("sab,bE->saE", _Es, uc)
+                                   precision=FULL)
+                ye = jnp.einsum("sab,bE->saE", _Es, uc, precision=FULL)
                 ye_f = _interleave_parities(ye, dim, _nc)
                 return conv_scatter(ye_f.reshape(ye.shape[1], -1), _s,
                                     degree, dim, n_comp, _nf,
-                                    precision=prec)
+                                    precision=FULL)
 
             mult = raw_p(jnp.ones((levels[l].free_mask.shape[0],), dtype))
             inv_mult = 1.0 / mult
@@ -219,11 +222,11 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
             def raw_r(yf, _Es=Es, _ik=ident_k, _s=scat, _nc=nc, _nf=nf,
                       _gf=g_f):
                 ye_f = conv_cellwise(yf, _ik, degree, dim, n_comp, _gf,
-                                     precision=prec)
+                                     precision=FULL)
                 ye = _deinterleave_parities(ye_f, dim, _nc)
-                zc = jnp.einsum("sab,saE->bE", _Es, ye)
+                zc = jnp.einsum("sab,saE->bE", _Es, ye, precision=FULL)
                 return conv_scatter(zc, _s, degree, dim, n_comp, _nc,
-                                    precision=prec)
+                                    precision=FULL)
 
             fine_free = levels[l - 1].free_mask
             coarse_free = free
@@ -258,7 +261,9 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
     coarse_inv = jnp.asarray(np.linalg.inv(Kg), dtype)
 
     def coarse_solve(r):
-        return coarse_inv @ r
+        # full precision: the TPU's default bf16 matmul destroys the exact
+        # coarse solve (inverse entries span ~10 orders of magnitude)
+        return jnp.dot(coarse_inv, r, precision=lax.Precision.HIGHEST)
 
     deg = smoother_degree
 
