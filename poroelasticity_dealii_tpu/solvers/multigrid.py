@@ -245,6 +245,11 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
 
     # coarsest: dense inverse of the masked operator (host, float64)
     n_c = sizes[-1]
+    n_coarse_dofs = n_comp * (degree * n_c + 1) ** dim
+    if n_coarse_dofs > 20_000:
+        raise ValueError(
+            f"coarsest level has {n_coarse_dofs} dofs — too large for a "
+            "dense inverse; use more levels")
     mesh_c = structured_mesh(data.domain_size[:dim], n_c,
                              lower=lower, upper=upper)
     space_c, _ = build_structured_space(mesh_c, n_c, degree)
