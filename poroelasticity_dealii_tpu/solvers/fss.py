@@ -101,44 +101,13 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         d, data = self.disc, self.data
         acc = (data.biot_coef / dt) * (eps_v - eps_v0) \
             + (1.0 / data.m_modulus / dt) * (p - p_old)
-        fused = self._fused_residual_stencil(dt)
-        if fused is not None:
-            # one 2-channel conv pair: M @ acc + (k/mu) L @ p
-            x2 = jnp.stack([acc, p], axis=-1).reshape(-1)
-            res = fused(x2) + d.f_well
-        else:
-            res = (d.mass(acc) + (data.perm / data.visc) * d.laplace(p)
-                   + d.f_well)
+        # NOTE: fusing mass+laplace into one 2-channel conv was tried and
+        # measured SLOWER on TPU (109 vs 93 ms/step at 1.66M DOF) — the
+        # interleaved-channel conv picks a worse algorithm; keep separate.
+        res = (d.mass(acc) + (data.perm / data.visc) * d.laplace(p)
+               + d.f_well)
         # hanging-row condensation (constraints.condense(residual), :153)
         return d._hcp.condense_vec(-res) * d.free_mask_p
-
-    def _fused_residual_stencil(self, dt):
-        """[M | (k/mu) L] as one 2-input-channel conv stencil (conv backend,
-        static dt)."""
-        if not isinstance(dt, (int, float)):
-            return None
-        from .structured import ConvGridDiscretization
-        d, data = self.disc, self.data
-        if not isinstance(d, ConvGridDiscretization):
-            return None
-        cache = self.__dict__.setdefault("_res_stencils", {})
-        if dt not in cache:
-            from ..ops import dense
-            from ..ops.stencil import make_stencil_apply
-            from .structured import _single_cell_spaces
-            n = d.info_p.cells_per_axis
-            _, sp1, _ = _single_cell_spaces(data, n, d.info_p.degree,
-                                            d.info_u.degree)
-            Me = dense.mass_element_matrices(sp1)[0]
-            Le = dense.laplace_element_matrices(sp1)[0]
-            Np = Me.shape[0]
-            two = np.zeros((Np, Np * 2))
-            two[:, 0::2] = Me
-            two[:, 1::2] = (data.perm / data.visc) * Le
-            kp = d.info_p.degree
-            cache[dt] = make_stencil_apply(two, kp, kp, 2, 1, d.dim, n,
-                                           d.dtype)
-        return cache[dt]
 
     def _pressure_jacobian_apply(self, x, dt):
         d, data = self.disc, self.data
@@ -310,7 +279,6 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         power iterations that must not happen inside a trace)."""
         if isinstance(dt, (int, float)):
             self._fused_jacobian_stencil(dt)
-            self._fused_residual_stencil(dt)
             self._pressure_precond(dt)
         return self._time_step_impl(state, dt, bc_scale)
 
