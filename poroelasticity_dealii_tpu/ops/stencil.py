@@ -15,7 +15,7 @@ the MXU eats at near-peak, a few ops of HLO (seconds to compile instead of
 minutes for slice/pad chains), and zero gather/scatter instructions.  The
 element matrices are computed once on the host from the same definitions the
 dense test oracle uses (ops/dense.py), so the conv path is verified against
-the generic path bit-for-bit (tests/test_stencil.py).
+the generic path bit-for-bit (tests/test_structured.py).
 """
 
 from __future__ import annotations
