@@ -387,6 +387,8 @@ def format_deck(data: InputData) -> str:
         f"  set Displacement boundary labels     = {fmt_list(data.displacement_boundary_labels)}",
         f"  set Displacement boundary components = {fmt_list(data.displacement_boundary_components)}",
         f"  set Displacement boundary values     = {fmt_list(data.displacement_boundary_values)}",
+        f"  set Pressure boundary labels         = {fmt_list(data.pressure_boundary_labels)}",
+        f"  set Pressure boundary values         = {fmt_list(data.pressure_boundary_values)}",
         "end",
         "subsection Solver",
         f"  set Time step               = {data.time_step}",
@@ -395,5 +397,14 @@ def format_deck(data: InputData) -> str:
         f"  set Max pressure iterations = {data.max_pressure_iterations}",
         f"  set FSS tolerance           = {data.fss_tol}",
         f"  set Pressure tolerance      = {data.pressure_tol}",
+        "end",
+        "subsection TPU",
+        f"  set Dtype                    = {data.dtype}",
+        f"  set Output directory         = {data.output_directory}",
+        f"  set Output VTK               = {'true' if data.output_vtk else 'false'}",
+        f"  set Volumetric strain resync = "
+        f"{'true' if data.resync_volumetric_strain else 'false'}",
+        f"  set AMR                      = {'true' if data.amr else 'false'}",
+        f"  set Gravity direction        = {data.gravity_direction}",
         "end",
     ]) + "\n"

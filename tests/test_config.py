@@ -105,3 +105,16 @@ subsection In situ
 end
 """)
     assert entries[("In situ", "Stress boundary labels")] == ""
+
+
+def test_roundtrip_covers_new_sections():
+    data = from_entries({
+        ("In situ", "Pressure boundary labels"): "3",
+        ("In situ", "Pressure boundary values"): "0",
+        ("TPU", "Volumetric strain resync"): "true",
+        ("TPU", "Gravity direction"): "1",
+    })
+    data2 = from_entries(parse_deck(format_deck(data)))
+    assert data2.pressure_boundary_labels == (3,)
+    assert data2.resync_volumetric_strain is True
+    assert data2.gravity_direction == 1
