@@ -22,15 +22,20 @@ Key layout tricks (all for Mosaic-friendliness):
 Correctness is verified against the conv path in interpret mode
 (tests/test_pallas.py).
 
-STATUS: experimental.  Mosaic on the current jax/libtpu stack rejects the
-(rows, n+1, n+1, 3) block layout (trailing dims far below the (8, 128)
-tile; even a trivial DMA+copy kernel on these shapes fails to compile,
-while the same pattern on (128, 256) shapes compiles and runs).  The fix,
-sketched for round 2, is a component-major layout: scratch
-``(3, rows, ny, nx)``, ue as three ``(27, n^2)`` factors with
-``ye = sum_j K_j @ ue_j`` so the lane axis is the n^2 cell dimension.  The
+STATUS: experimental (interpret-verified; Mosaic-on-device blocked).
+Probed Mosaic constraints on this jax/libtpu stack (2026-08):
+
+* dynamically-indexed HBM->VMEM DMA works for 2-D refs ``(rows, 256)`` but
+  FAILS (compile-helper crash) for 3-D/4-D refs even with 128-multiple
+  trailing dims;
+* an in-kernel value reshape ``(8, 243) -> (8, 9, 9, 3)`` also fails.
+
+So a working version must keep the entire dataflow 2-D with lane-friendly
+widths: flatten each z-plane to ``(rows, W)`` with W padded to 128k, build
+the ``(nn, 81)`` matmul operand via 2-D dynamic slices only, and scatter
+with 2-D adds.  That redesign is queued for round 2 (docs/ROADMAP.md).  The
 production elasticity apply remains the conv-stencil path (ops/stencil.py),
-which runs at ~7 ms/apply at 1.66M DOF.
+~7 ms/apply at 1.66M DOF.
 """
 
 from __future__ import annotations
