@@ -50,6 +50,7 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
       precond: optional SPD fixed linear operator ``r -> M^{-1} r``
         (e.g. a multigrid V-cycle); overrides ``diag``.
     """
+    flexible = precond is not None
     if precond is None:
         inv_diag = 1.0 / diag
         precond = lambda r: r * inv_diag  # noqa: E731
@@ -60,22 +61,31 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     rnorm0 = jnp.linalg.norm(r0)
 
     def cond(state):
-        k, _, _, _, rz, rnorm = state
+        k, _, _, _, _, rz, rnorm = state
         return (k < max_iter) & (rnorm > tol)
 
     def body(state):
-        k, x, r, p, rz, rnorm = state
+        k, x, r, r_prev, p, rz, rnorm = state
         ap = apply_a(p)
         alpha = rz / jnp.vdot(p, ap)
         x = x + alpha * p
-        r = r - alpha * ap
-        z = precond(r)
-        rz_new = jnp.vdot(r, z)
-        p = z + (rz_new / rz) * p
-        return (k + 1, x, r, p, rz_new, jnp.linalg.norm(r))
+        r_new = r - alpha * ap
+        z = precond(r_new)
+        if flexible:
+            # Polak-Ribiere beta: robust to slight nonsymmetry / rounding
+            # of an operator preconditioner (e.g. a float32 V-cycle, whose
+            # ~1e-7 transfer asymmetry stalls Fletcher-Reeves CG)
+            rz_new = jnp.vdot(r_new, z)
+            beta = jnp.vdot(z, r_new - r) / rz
+            beta = jnp.maximum(beta, 0.0)
+        else:
+            rz_new = jnp.vdot(r_new, z)
+            beta = rz_new / rz
+        p = z + beta * p
+        return (k + 1, x, r_new, r, p, rz_new, jnp.linalg.norm(r_new))
 
-    init = (jnp.int32(0), x0, r0, z0, rz0, rnorm0)
-    k, x, r, p, rz, rnorm = lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), x0, r0, r0, z0, rz0, rnorm0)
+    k, x, r, r_prev, p, rz, rnorm = lax.while_loop(cond, body, init)
     return CGResult(x=x, iterations=k, residual_norm=rnorm,
                     converged=rnorm <= tol)
 

@@ -69,19 +69,28 @@ def chebyshev_smooth(apply_a: Callable, inv_diag, b, degree: int,
 
 
 def estimate_lmax(apply_a: Callable, inv_diag, n: int, dtype,
-                  iters: int = 20, seed: int = 0) -> float:
-    """Power iteration on D^{-1}A (run once at setup, on device)."""
+                  iters: int = 60, seed: int = 0) -> float:
+    """Upper-bound estimate of lmax(D^{-1}A) via power iteration (run once
+    at setup, on device).
+
+    An UNDERestimated lmax makes the Chebyshev smoother AMPLIFY the top
+    modes and the whole V-cycle diverges on iteration (observed at 40^3
+    before the iteration count was raised), so use plenty of iterations and
+    take the max of the Rayleigh quotient and the last growth ratio."""
     key = jax.random.PRNGKey(seed)
     v = jax.random.normal(key, (n,), dtype)
     v = v / jnp.linalg.norm(v)
 
-    def body(_, v):
+    def body(_, carry):
+        v, _ = carry
         w = inv_diag * apply_a(v)
-        return w / jnp.linalg.norm(w)
+        growth = jnp.linalg.norm(w)
+        return (w / growth, growth)
 
-    v = jax.lax.fori_loop(0, iters, body, v)
+    v, growth = jax.lax.fori_loop(0, iters, body, (v, jnp.ones((), dtype)))
     w = inv_diag * apply_a(v)
-    return float(jnp.vdot(v, w) / jnp.vdot(v, v))
+    rq = jnp.vdot(v, w) / jnp.vdot(v, v)
+    return float(jnp.maximum(rq, growth))
 
 
 # ---------------------------------------------------------------------------
@@ -191,9 +200,17 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
                                   (conn.shape[0], n_local)).reshape(-1))
         diag_np = np.where(free_np, diag_np, 1.0)
         inv_diag = jnp.asarray(1.0 / diag_np, dtype)
-        lmax = estimate_lmax(apply, inv_diag, space.n_nodes * n_comp, dtype)
+        # rigorous Gershgorin-type upper bound on lmax(D^{-1} A): an
+        # UNDERestimate (e.g. a short power iteration) makes the Chebyshev
+        # smoother AMPLIFY top modes and the V-cycle diverges on iteration
+        # (observed at 40^3); the |row|-sum bound is safe by construction.
+        rowsum_np = np.zeros(space.n_nodes * n_comp)
+        np.add.at(rowsum_np, conn.astype(np.int64).reshape(-1),
+                  np.broadcast_to(np.abs(Ke).sum(axis=1),
+                                  (conn.shape[0], n_local)).reshape(-1))
+        lmax = float(np.max(np.where(free_np, rowsum_np / diag_np, 1.0)))
         levels.append(_Level(n_cells=n, apply=apply, inv_diag=inv_diag,
-                             free_mask=free, lmax=lmax * 1.1))
+                             free_mask=free, lmax=lmax))
         if l > 0:
             nc = n
             nf = 2 * nc
