@@ -34,6 +34,9 @@ def build(platform=None, cells=CELLS_PER_AXIS):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
+    # x64 on: arrays stay float32, but CG dot products accumulate in f64
+    # (f32 dots suffer catastrophic cancellation with strong preconditioners)
+    jax.config.update("jax_enable_x64", True)
     try:  # persistent compile cache: the 3D conv kernels compile slowly cold
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(HERE, ".jax_cache"))

@@ -24,6 +24,21 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _dot(a, b):
+    """Inner product with extra precision for float32 operands.
+
+    CG's alpha = rz / pAp suffers catastrophic cancellation in f32 when the
+    preconditioner is good (z ~ A^{-1}r makes the true p·Ap tiny relative
+    to sum(|p_i (Ap)_i|)); observed on TPU as a *negative* p·Ap and a
+    completely stalled solve.  When x64 is enabled (emulated f64 on TPU is
+    fine for a bandwidth-bound dot), accumulate in float64; otherwise keep
+    the plain dot (enable x64 for f32 production runs — bench.py does)."""
+    if a.dtype == jnp.float32 and jax.config.jax_enable_x64:
+        return jnp.vdot(a.astype(jnp.float64),
+                        b.astype(jnp.float64)).astype(a.dtype)
+    return jnp.vdot(a, b)
+
+
 class CGResult(NamedTuple):
     x: jnp.ndarray
     iterations: jnp.ndarray   # int32 — number of A-applies performed
@@ -57,7 +72,7 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
 
     r0 = b - apply_a(x0)
     z0 = precond(r0)
-    rz0 = jnp.vdot(r0, z0)
+    rz0 = _dot(r0, z0)
     rnorm0 = jnp.linalg.norm(r0)
 
     def cond(state):
@@ -67,7 +82,7 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     def body(state):
         k, x, r, r_prev, p, rz, rnorm = state
         ap = apply_a(p)
-        alpha = rz / jnp.vdot(p, ap)
+        alpha = rz / _dot(p, ap)
         x = x + alpha * p
         r_new = r - alpha * ap
         z = precond(r_new)
@@ -75,17 +90,46 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
             # Polak-Ribiere beta: robust to slight nonsymmetry / rounding
             # of an operator preconditioner (e.g. a float32 V-cycle, whose
             # ~1e-7 transfer asymmetry stalls Fletcher-Reeves CG)
-            rz_new = jnp.vdot(r_new, z)
-            beta = jnp.vdot(z, r_new - r) / rz
+            rz_new = _dot(r_new, z)
+            beta = _dot(z, r_new - r) / rz
             beta = jnp.maximum(beta, 0.0)
         else:
-            rz_new = jnp.vdot(r_new, z)
+            rz_new = _dot(r_new, z)
             beta = rz_new / rz
         p = z + beta * p
         return (k + 1, x, r_new, r, p, rz_new, jnp.linalg.norm(r_new))
 
     init = (jnp.int32(0), x0, r0, r0, z0, rz0, rnorm0)
     k, x, r, r_prev, p, rz, rnorm = lax.while_loop(cond, body, init)
+    return CGResult(x=x, iterations=k, residual_norm=rnorm,
+                    converged=rnorm <= tol)
+
+
+def richardson_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
+                     precond: Callable, tol: jnp.ndarray,
+                     max_iter: int) -> CGResult:
+    """Preconditioned Richardson iteration: ``x += M^{-1}(b - A x)``.
+
+    The robust companion to :func:`cg_solve` for very strong operator
+    preconditioners in float32: when M approximates A^{-1} well, the true
+    quadratic form p·Ap falls below the forward-error noise of the f32
+    operator apply itself, and CG's step computation becomes noise-dominated
+    (observed on TPU: bit-exact stagnation of GMG-CG at 40^3 elasticity
+    while this iteration contracts steadily at ~0.5/step).  No dot products
+    enter the update — only the stopping test."""
+    def cond(state):
+        k, _, rnorm = state
+        return (k < max_iter) & (rnorm > tol)
+
+    def body(state):
+        k, x, _ = state
+        r = b - apply_a(x)
+        x = x + precond(r)
+        r2 = b - apply_a(x)
+        return (k + 1, x, jnp.linalg.norm(r2))
+
+    r0 = jnp.linalg.norm(b - apply_a(x0))
+    k, x, rnorm = lax.while_loop(cond, body, (jnp.int32(0), x0, r0))
     return CGResult(x=x, iterations=k, residual_norm=rnorm,
                     converged=rnorm <= tol)
 

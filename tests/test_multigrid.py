@@ -99,3 +99,25 @@ def test_gmg_pressure_respects_drainage_bc():
     assert bool(r_m.converged)
     np.testing.assert_allclose(np.asarray(r_m.x), np.asarray(r_j.x),
                                rtol=1e-6, atol=1e-12)
+
+
+def test_richardson_with_gmg_matches_cg_solution():
+    """Preconditioned Richardson (the f32-robust companion solver) reaches
+    the same solution as GMG-CG."""
+    from poroelasticity_dealii_tpu.solvers.cg import richardson_solve
+    data = read_input_file(DECK3D)
+    n = 8
+    disc = build_grid_discretization(data, cells_per_axis=n,
+                                     multigrid="off")
+    precond, _ = build_gmg_elasticity(data, n_fine=n, n_levels=2,
+                                      dtype=np.float64)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(disc.n_udofs)) * disc.free_mask_u
+    tol = 1e-9 * float(jnp.linalg.norm(b))
+    r_rich = richardson_solve(disc.elasticity_constrained, b,
+                              jnp.zeros_like(b), precond, tol, 200)
+    r_cg = cg_solve(disc.elasticity_constrained, b, jnp.zeros_like(b),
+                    tol=tol, max_iter=100, precond=precond)
+    assert bool(r_rich.converged) and bool(r_cg.converged)
+    np.testing.assert_allclose(np.asarray(r_rich.x), np.asarray(r_cg.x),
+                               rtol=1e-6, atol=1e-10)
