@@ -24,8 +24,8 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _dot(a, b):
-    """Inner product with extra precision for float32 operands.
+def _dot(a, b, precise=False):
+    """Inner product, optionally with float64 accumulation.
 
     CG's alpha = rz / pAp suffers catastrophic cancellation in f32 when the
     preconditioner is good (z ~ A^{-1}r makes the true p·Ap tiny relative
@@ -33,7 +33,7 @@ def _dot(a, b):
     completely stalled solve.  When x64 is enabled (emulated f64 on TPU is
     fine for a bandwidth-bound dot), accumulate in float64; otherwise keep
     the plain dot (enable x64 for f32 production runs — bench.py does)."""
-    if a.dtype == jnp.float32 and jax.config.jax_enable_x64:
+    if precise and a.dtype == jnp.float32 and jax.config.jax_enable_x64:
         return jnp.vdot(a.astype(jnp.float64),
                         b.astype(jnp.float64)).astype(a.dtype)
     return jnp.vdot(a, b)
@@ -48,7 +48,8 @@ class CGResult(NamedTuple):
 
 def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
              diag: jnp.ndarray = None, tol: jnp.ndarray = 0.0,
-             max_iter: int = 1000, precond: Callable = None) -> CGResult:
+             max_iter: int = 1000, precond: Callable = None,
+             precise_dots: bool = False) -> CGResult:
     """Solve ``A x = b`` with preconditioned CG.
 
     Args:
@@ -64,6 +65,11 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
       max_iter: iteration cap (reference uses 1000).
       precond: optional SPD fixed linear operator ``r -> M^{-1} r``
         (e.g. a multigrid V-cycle); overrides ``diag``.
+      precise_dots: accumulate the CG scalars in float64 (requires x64
+        enabled; f64 is emulated but cheap on TPU for bandwidth-bound dots).
+        Needed when a very strong preconditioner drives the true p·Ap into
+        f32 cancellation territory; off by default since the emulated dots
+        cost ~3 ms each at 1.66M dofs.
     """
     flexible = precond is not None
     if precond is None:
@@ -72,7 +78,8 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
 
     r0 = b - apply_a(x0)
     z0 = precond(r0)
-    rz0 = _dot(r0, z0)
+    dot = lambda a, b: _dot(a, b, precise_dots)  # noqa: E731
+    rz0 = dot(r0, z0)
     rnorm0 = jnp.linalg.norm(r0)
 
     def cond(state):
@@ -82,7 +89,7 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     def body(state):
         k, x, r, r_prev, p, rz, rnorm = state
         ap = apply_a(p)
-        alpha = rz / _dot(p, ap)
+        alpha = rz / dot(p, ap)
         x = x + alpha * p
         r_new = r - alpha * ap
         z = precond(r_new)
@@ -90,11 +97,11 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
             # Polak-Ribiere beta: robust to slight nonsymmetry / rounding
             # of an operator preconditioner (e.g. a float32 V-cycle, whose
             # ~1e-7 transfer asymmetry stalls Fletcher-Reeves CG)
-            rz_new = _dot(r_new, z)
-            beta = _dot(z, r_new - r) / rz
+            rz_new = dot(r_new, z)
+            beta = dot(z, r_new - r) / rz
             beta = jnp.maximum(beta, 0.0)
         else:
-            rz_new = _dot(r_new, z)
+            rz_new = dot(r_new, z)
             beta = rz_new / rz
         p = z + beta * p
         return (k + 1, x, r_new, r, p, rz_new, jnp.linalg.norm(r_new))
