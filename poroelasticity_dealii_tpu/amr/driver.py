@@ -109,11 +109,21 @@ class AMRSimulationRunner:
         write_vtk(path, sp, u_p, np.asarray(state.p),
                   np.asarray(state.strains), stresses)
 
-    def run(self, n_steps: Optional[int] = None):
+    def run(self, n_steps: Optional[int] = None,
+            resume_from: Optional[str] = None):
         data = self.data
-        state = self.solver.initial_state()
-        self._output(state, 0)
-        t, step = 0.0, 0
+        if resume_from:
+            from ..utils.checkpoint import (load_checkpoint,
+                                            load_checkpoint_forest)
+            forest = load_checkpoint_forest(resume_from)
+            if forest is not None:
+                self.forest = forest
+                self._rebuild()
+            state, t, step = load_checkpoint(resume_from, self.disc.dtype)
+        else:
+            state = self.solver.initial_state()
+            self._output(state, 0)
+            t, step = 0.0, 0
         history = []
         while (t < data.t_max) and (n_steps is None or step < n_steps):
             t += data.time_step
@@ -133,4 +143,12 @@ class AMRSimulationRunner:
                 self.logger.log_step(step, t, stats, wall,
                                      extra={"n_cells": self.disc.n_cells})
             self._output(state, step)
+            if data.checkpoint_every and step % data.checkpoint_every == 0:
+                import os
+
+                from ..utils.checkpoint import save_checkpoint
+                save_checkpoint(
+                    os.path.join(data.checkpoint_directory,
+                                 f"ckpt-{step:06d}.npz"),
+                    state, t, step, forest=self.forest)
         return state, history

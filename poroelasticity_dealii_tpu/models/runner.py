@@ -111,7 +111,7 @@ def run_from_deck(path: str, resume_from: Optional[str] = None) -> State:
         runner = AMRSimulationRunner(
             data, logger=RunLogger(
                 os.path.join(data.output_directory, "run_log.jsonl")))
-        state, _ = runner.run()
+        state, _ = runner.run(resume_from=resume_from)
         return state
     runner = SimulationRunner(data)
     return runner.run(resume_from=resume_from)

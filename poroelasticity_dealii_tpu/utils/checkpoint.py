@@ -20,8 +20,16 @@ FORMAT_VERSION = 1
 
 
 def save_checkpoint(path: str, state: State, time_: float, step: int,
-                    meta: dict | None = None):
+                    meta: dict | None = None, forest=None):
+    """``forest`` (optional): an amr.QuadForest whose leaves are persisted so
+    adaptive runs resume on the refined mesh."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    extra = {}
+    if forest is not None:
+        extra["forest_leaves"] = np.asarray(sorted(forest.leaves),
+                                            dtype=np.int64)
+        extra["forest_lower"] = np.asarray(forest.lower)
+        extra["forest_upper"] = np.asarray(forest.upper)
     np.savez(
         path,
         version=FORMAT_VERSION,
@@ -29,6 +37,7 @@ def save_checkpoint(path: str, state: State, time_: float, step: int,
         eps_v=np.asarray(state.eps_v), eps_v0=np.asarray(state.eps_v0),
         strains=np.asarray(state.strains),
         time=time_, step=step,
+        **extra,
         **({f"meta_{k}": v for k, v in (meta or {}).items()}),
     )
 
@@ -44,3 +53,14 @@ def load_checkpoint(path: str, dtype=None) -> Tuple[State, float, int]:
                       eps_v=cast(z["eps_v"]), eps_v0=cast(z["eps_v0"]),
                       strains=cast(z["strains"]))
         return state, float(z["time"]), int(z["step"])
+
+
+def load_checkpoint_forest(path: str):
+    """Restore the persisted QuadForest of an adaptive run, or None."""
+    with np.load(path) as z:
+        if "forest_leaves" not in z:
+            return None
+        from ..amr.forest import QuadForest
+        leaves = {tuple(int(v) for v in row) for row in z["forest_leaves"]}
+        return QuadForest(lower=z["forest_lower"], upper=z["forest_upper"],
+                          leaves=leaves)

@@ -203,3 +203,25 @@ def test_adaptive_golden_run():
                 cx = -5 + 10 * (ix + 0.5) / n
                 cy = -5 + 10 * (iy + 0.5) / n
                 assert np.hypot(cx, cy) < 4.0, (cx, cy)
+
+
+def test_amr_checkpoint_resume(tmp_path):
+    """Adaptive runs persist the forest: resume restores the refined mesh
+    and reproduces the uninterrupted run."""
+    data = read_input_file(GOLDEN)
+    data = dataclasses.replace(
+        data, initial_refinement_level=3, max_refinement_level=2,
+        t_max=480.0, amr=True, output_vtk=False, checkpoint_every=6,
+        checkpoint_directory=str(tmp_path / "ck"))
+    runner_full = AMRSimulationRunner(data)
+    state_full, hist = runner_full.run()
+    assert (tmp_path / "ck" / "ckpt-000006.npz").exists()
+    # resume after the remesh at step 5 (checkpoint at step 6)
+    runner_res = AMRSimulationRunner(data)
+    state_res, _ = runner_res.run(
+        resume_from=str(tmp_path / "ck" / "ckpt-000006.npz"))
+    assert runner_res.forest.leaves == runner_full.forest.leaves
+    np.testing.assert_allclose(np.asarray(state_res.p),
+                               np.asarray(state_full.p), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(state_res.eps_v),
+                               np.asarray(state_full.eps_v), rtol=1e-10)
