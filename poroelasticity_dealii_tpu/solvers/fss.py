@@ -214,9 +214,18 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         if data.mech_cg_relative:
             tol = tol * jnp.linalg.norm(b_mod)
         precond = getattr(d, "gmg_precond", None)  # multigrid when available
-        res = cg_solve(apply, b_mod, x0, d.diag_elasticity,
-                       tol=tol, max_iter=data.cg_max_iterations,
-                       precond=precond)
+        if precond is not None and d.dtype == jnp.float32:
+            # f32 + strong operator preconditioner: CG's p·Ap is dominated
+            # by the operator apply's forward-error noise (docs/VALIDATION
+            # "known limitations"); preconditioned Richardson has no
+            # quadratic forms and contracts at the V-cycle rate.
+            from .cg import richardson_solve
+            res = richardson_solve(apply, b_mod, x0, precond, tol,
+                                   data.cg_max_iterations)
+        else:
+            res = cg_solve(apply, b_mod, x0, d.diag_elasticity,
+                           tol=tol, max_iter=data.cg_max_iterations,
+                           precond=precond)
         return d._hcu.distribute(res.x), res.iterations, res.converged
 
     # ---------------- strain projection -------------------------------------

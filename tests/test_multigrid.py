@@ -121,3 +121,31 @@ def test_richardson_with_gmg_matches_cg_solution():
     assert bool(r_rich.converged) and bool(r_cg.converged)
     np.testing.assert_allclose(np.asarray(r_rich.x), np.asarray(r_cg.x),
                                rtol=1e-6, atol=1e-10)
+
+
+def test_f32_mech_gmg_uses_richardson_end_to_end():
+    """f32 + elasticity GMG: the FSS solver selects Richardson and the full
+    step matches the GMG-off run."""
+    from poroelasticity_dealii_tpu.solvers import FixedStressSolver
+    data = read_input_file(DECK3D)
+    data = dataclasses.replace(
+        data, dtype="float32", fss_tol=1e-4, pressure_tol=1e-4,
+        mech_cg_tol=1e-4, mech_cg_relative=True,
+        pressure_cg_tol=1e-5, projection_cg_tol=1e-5)
+    d_off = build_grid_discretization(data, cells_per_axis=8,
+                                      multigrid="off")
+    d_on = build_grid_discretization(data, cells_per_axis=8,
+                                     multigrid="on")
+    assert d_on.gmg_precond is not None
+    s_off = FixedStressSolver(d_off, data)
+    s_on = FixedStressSolver(d_on, data)
+    st_off = s_off.initial_state()
+    st_on = s_on.initial_state()
+    # different solvers agree to the mech tolerance only (u scale ~1e-5)
+    np.testing.assert_allclose(np.asarray(st_on.u), np.asarray(st_off.u),
+                               atol=1e-8)
+    a_off, t_off = s_off.time_step(st_off, data.time_step)
+    a_on, t_on = s_on.time_step(st_on, data.time_step)
+    assert bool(t_on.cg_converged)
+    np.testing.assert_allclose(np.asarray(a_on.p), np.asarray(a_off.p),
+                               rtol=1e-4)
