@@ -20,7 +20,7 @@ Deliberate differences from the reference (documented, not accidental):
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 MILLIDARCY = 9.869233e-16  # m^2 per mD, InputDataPoroel.h:162
 
@@ -124,6 +124,9 @@ _SCHEMA = {
     ("Mesh", "Initial refinement level"): ("3", _int(2)),
     ("Mesh", "Max refinement level"): ("5", _int(2)),
     ("Mesh", "Mesh file"): ("", _str()),  # gmsh .msh path; "" = structured
+    # per-axis structured cell counts "nx, ny[, nz]" (anisotropic grids);
+    # "" = 2**initial_refinement_level per axis (reference semantics)
+    ("Mesh", "Cells per axis"): ("", _int_list),
     # Properties section (InputDataPoroel.h:101-114)
     ("Properties", "Young modulus"): ("7e9", _dbl(1)),
     ("Properties", "Poisson ratio"): ("0.3", _dbl(0, 0.5)),
@@ -198,6 +201,8 @@ class InputData:
     initial_refinement_level: int
     max_refinement_level: int
     mesh_file: str
+    # None = 2**initial_refinement_level per axis; else per-axis counts
+    cells_per_axis: Optional[Tuple[int, ...]]
     # equation data
     perm: float          # m^2 (converted from mD like InputDataPoroel.h:162-168)
     poro: float
@@ -292,6 +297,8 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
         initial_refinement_level=vals[("Mesh", "Initial refinement level")],
         max_refinement_level=vals[("Mesh", "Max refinement level")],
         mesh_file=vals[("Mesh", "Mesh file")],
+        cells_per_axis=(tuple(vals[("Mesh", "Cells per axis")])
+                        if vals[("Mesh", "Cells per axis")] else None),
         perm=vals[("Properties", "Permeability")] * MILLIDARCY,
         poro=vals[("Properties", "Porosity")],
         visc=vals[("Properties", "Viscosity")],
@@ -366,6 +373,8 @@ def format_deck(data: InputData) -> str:
         f"  set Domain size              = {fmt_list(data.domain_size)}",
         f"  set Initial refinement level = {data.initial_refinement_level}",
         f"  set Max refinement level     = {data.max_refinement_level}",
+    ] + ([f"  set Cells per axis           = {fmt_list(data.cells_per_axis)}"]
+         if data.cells_per_axis else []) + [
         "end",
         "subsection Properties",
         f"  set Young modulus         = {data.youngs_modulus}",

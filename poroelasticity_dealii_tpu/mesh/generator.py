@@ -15,16 +15,27 @@ import numpy as np
 from .core import Mesh
 
 
+def normalize_cells_per_axis(cells_per_axis, dim: int):
+    """int | sequence -> per-axis tuple ``(n_x, n_y[, n_z])``."""
+    if np.ndim(cells_per_axis) == 0:
+        return (int(cells_per_axis),) * dim
+    ns = tuple(int(c) for c in cells_per_axis)
+    if len(ns) != dim:
+        raise ValueError(f"cells_per_axis {ns} does not match dim={dim}")
+    return ns
+
+
 def hyper_rectangle(domain_size, refinement_level: int = None,
-                    lower=None, upper=None, cells_per_axis: int = None) -> Mesh:
-    """Structured quad/hex mesh, 2**refinement_level (or cells_per_axis)
-    cells per axis."""
+                    lower=None, upper=None, cells_per_axis=None) -> Mesh:
+    """Structured quad/hex mesh, 2**refinement_level cells per axis, or
+    ``cells_per_axis`` — an int (same per axis) or a per-axis tuple
+    ``(n_x, n_y[, n_z])`` for anisotropic cell counts."""
     domain_size = np.asarray(domain_size, dtype=np.float64)
     dim = len(domain_size)
     if cells_per_axis is not None:
-        n = int(cells_per_axis)
+        ns = normalize_cells_per_axis(cells_per_axis, dim)
     else:
-        n = 2 ** refinement_level  # cells per axis
+        ns = (2 ** refinement_level,) * dim  # cells per axis
     if lower is None:
         lower = -domain_size / 2.0
     if upper is None:
@@ -33,8 +44,9 @@ def hyper_rectangle(domain_size, refinement_level: int = None,
     upper = np.asarray(upper, dtype=np.float64)
 
     # vertices, lexicographic x fastest
-    axes = [np.linspace(lower[d], upper[d], n + 1) for d in range(dim)]
-    idx = np.indices([n + 1] * dim).reshape(dim, -1)  # C-order: last fastest
+    axes = [np.linspace(lower[d], upper[d], ns[d] + 1) for d in range(dim)]
+    idx = np.indices([ns[dim - 1 - d] + 1 for d in range(dim)]) \
+        .reshape(dim, -1)                             # C-order: last fastest
     coord_idx = [idx[dim - 1 - d] for d in range(dim)]  # coord d index array
     vertices = np.stack([axes[d][coord_idx[d]] for d in range(dim)], axis=-1)
 
@@ -43,11 +55,11 @@ def hyper_rectangle(domain_size, refinement_level: int = None,
         stride = 1
         for d in range(dim):
             out = out + ix[d] * stride
-            stride *= (n + 1)
+            stride *= (ns[d] + 1)
         return out
 
     # cells, lexicographic x fastest; local corners lexicographic too
-    cidx = np.indices([n] * dim).reshape(dim, -1)
+    cidx = np.indices([ns[dim - 1 - d] for d in range(dim)]).reshape(dim, -1)
     ccoord = [cidx[dim - 1 - d] for d in range(dim)]  # coord-d cell index
     corners = []
     for corner in range(2 ** dim):
@@ -61,21 +73,23 @@ def hyper_rectangle(domain_size, refinement_level: int = None,
         stride = 1
         for d in range(dim):
             out = out + cc[d] * stride
-            stride *= n
+            stride *= ns[d]
         return out
 
     face_cells, face_local, face_ids = [], [], []
     for d in range(dim):
         other = [a for a in range(dim) if a != d]
-        oidx = np.indices([n] * (dim - 1)).reshape(dim - 1, -1)
+        oidx = np.indices([ns[other[dim - 2 - k]]
+                           for k in range(dim - 1)]).reshape(dim - 1, -1) \
+            if dim > 1 else np.zeros((0, 1), dtype=np.int64)
         # lexicographic over remaining axes, lowest-numbered axis fastest
         ocoord = [oidx[dim - 2 - k] for k in range(dim - 1)]
         for side in (0, 1):
             cc = [None] * dim
             cc[d] = np.full(ocoord[0].shape if ocoord else (1,),
-                            0 if side == 0 else n - 1, dtype=np.int64)
+                            0 if side == 0 else ns[d] - 1, dtype=np.int64)
             if dim == 1:
-                cc[d] = np.array([0 if side == 0 else n - 1])
+                cc[d] = np.array([0 if side == 0 else ns[d] - 1])
             for k, a in enumerate(other):
                 cc[a] = ocoord[k]
             face_cells.append(cell_id(cc))

@@ -68,14 +68,16 @@ def _scatter_kernel(n_out_comp: int, n_local: int, n_comp: int, k: int,
     return w
 
 
-def conv_cellwise(x, kernel, k: int, dim: int, n_comp: int, g: int,
+def conv_cellwise(x, kernel, k: int, dim: int, n_comp: int, gs,
                   precision=lax.Precision.HIGHEST):
     """Node grid -> per-cell local values: stride-k VALID conv.
 
-    x: flat dof vector (g^dim * n_comp,), interleaved comps.
-    Returns (N_out, n^dim) with cells x-fastest.
+    x: flat dof vector (prod(gs) * n_comp,), interleaved comps;
+    ``gs``: nodes per axis in (x, y[, z]) order (int = same per axis).
+    Returns (N_out, n_cells) with cells x-fastest.
     """
-    X = x.reshape(*([g] * dim), n_comp)
+    gs = (gs,) * dim if np.ndim(gs) == 0 else tuple(gs)
+    X = x.reshape(*reversed(gs), n_comp)
     X = jnp.moveaxis(X, -1, 0)[None]              # (1, comp, z, y, x)
     out = lax.conv_general_dilated(
         X, kernel, window_strides=(k,) * dim, padding="VALID",
@@ -84,34 +86,38 @@ def conv_cellwise(x, kernel, k: int, dim: int, n_comp: int, g: int,
     return out[0].reshape(n_out, -1)
 
 
-def conv_scatter(ye, kernel, k: int, dim: int, n_comp: int, n: int,
+def conv_scatter(ye, kernel, k: int, dim: int, n_comp: int, n,
                  precision=lax.Precision.HIGHEST):
-    """Per-cell local values (N_local*n_comp, n^dim) -> node grid flat vec."""
-    Y = ye.reshape(1, ye.shape[0], *([n] * dim))
+    """Per-cell local values (N_local*n_comp, n_cells) -> node grid flat
+    vector.  ``n``: cells per axis in (x, y[, z]) order (int = same)."""
+    ns = (n,) * dim if np.ndim(n) == 0 else tuple(n)
+    Y = ye.reshape(1, ye.shape[0], *reversed(ns))
     out = lax.conv_general_dilated(
         Y, kernel, window_strides=(1,) * dim,
         padding=[(k, k)] * dim, lhs_dilation=(k,) * dim,
         dimension_numbers=_DIMNUMS[dim], precision=precision)
-    # out: (1, n_comp, g, .., g)
+    # out: (1, n_comp, gz, .., gx)
     return jnp.moveaxis(out[0], 0, -1).reshape(-1)
 
 
 def make_stencil_apply(element_matrix: np.ndarray, k_in: int, k_out: int,
                        n_comp_in: int, n_comp_out: int, dim: int,
-                       n_cells: int, dtype,
+                       n_cells, dtype,
                        precision=lax.Precision.HIGHEST):
     """Build ``apply(x) -> y`` for one operator.
 
     ``element_matrix``: (N_out_nodes * n_comp_out, N_in_nodes * n_comp_in)
     dense per-cell matrix; rows/cols indexed (node * n_comp + comp) with the
     standard x-fastest local node ordering.  ``k_in``/``k_out`` are the
-    polynomial degrees of the input/output spaces.
+    polynomial degrees of the input/output spaces.  ``n_cells``: int or
+    per-axis counts in (x, y[, z]) order (anisotropic grids).
 
     ``precision``: MXU conv precision.  HIGHEST = full f32 (the solver
     operator); lower settings are legitimate for *preconditioner* applies
     (smoothers), which only need to be a fixed linear operator.
     """
-    g_in = k_in * n_cells + 1
+    ns = (n_cells,) * dim if np.ndim(n_cells) == 0 else tuple(n_cells)
+    gs_in = tuple(k_in * n + 1 for n in ns)
     wg = jnp.asarray(_to_kernel(element_matrix, n_comp_in, k_in, dim),
                      dtype=dtype)
     n_local_out = element_matrix.shape[0] // n_comp_out
@@ -120,9 +126,9 @@ def make_stencil_apply(element_matrix: np.ndarray, k_in: int, k_out: int,
         dtype=dtype)
 
     def apply(x):
-        ye = conv_cellwise(x, wg, k_in, dim, n_comp_in, g_in,
+        ye = conv_cellwise(x, wg, k_in, dim, n_comp_in, gs_in,
                            precision=precision)
-        return conv_scatter(ye, ws, k_out, dim, n_comp_out, n_cells,
+        return conv_scatter(ye, ws, k_out, dim, n_comp_out, ns,
                             precision=precision)
 
     return apply

@@ -29,8 +29,7 @@ from ..ops.shape import node_lattice
 
 
 def _grid_shape(info: GridInfo):
-    g = info.nodes_per_axis
-    return (g,) * info.dim           # (z, y, x) ordering, x last
+    return tuple(reversed(info.nodes_per_axis))   # (z, y, x) ordering, x last
 
 
 def grid_gather(x, info: GridInfo, n_comp: int):
@@ -39,7 +38,7 @@ def grid_gather(x, info: GridInfo, n_comp: int):
     E enumerates cells x-fastest (matching the mesh cell ordering);
     components are interleaved in the dof vector (node * n_comp + comp).
     """
-    dim, k, n = info.dim, info.degree, info.cells_per_axis
+    dim, k, ns = info.dim, info.degree, info.cells_per_axis
     gs = _grid_shape(info)
     X = x.reshape(*gs, n_comp)
     X = jnp.moveaxis(X, -1, 0)                       # (comp, z, y, x)
@@ -49,7 +48,7 @@ def grid_gather(x, info: GridInfo, n_comp: int):
         idx = [slice(None)]                          # comp axis
         for d in range(dim - 1, -1, -1):             # z, y, x axis order
             o = int(off[d])
-            idx.append(slice(o, o + k * (n - 1) + 1, k))
+            idx.append(slice(o, o + k * (ns[d] - 1) + 1, k))
         views.append(X[tuple(idx)].reshape(n_comp, -1))
     return jnp.stack(views, axis=0)                  # (N, comp, E)
 
@@ -60,18 +59,18 @@ def grid_scatter(ye, info: GridInfo, n_comp: int):
     The transpose of :func:`grid_gather`: each local-offset slab is
     interior-padded back onto the node grid and accumulated.
     """
-    dim, k, n = info.dim, info.degree, info.cells_per_axis
-    g = info.nodes_per_axis
+    dim, k, ns = info.dim, info.degree, info.cells_per_axis
+    gs = info.nodes_per_axis
     lat = node_lattice(k, dim)
     N = lat.shape[0]
-    y = ye.reshape(N, n_comp, *((n,) * dim))         # (N, comp, z, y, x)
+    y = ye.reshape(N, n_comp, *reversed(ns))         # (N, comp, z, y, x)
     zero = jnp.zeros((), ye.dtype)
     acc = None
     for a, off in enumerate(lat):
         cfg = [(0, 0, 0)]                            # comp axis
         for d in range(dim - 1, -1, -1):             # z, y, x
             o = int(off[d])
-            hi = g - (o + k * (n - 1) + 1)
+            hi = gs[d] - (o + k * (ns[d] - 1) + 1)
             cfg.append((o, hi, k - 1))
         padded = lax.pad(y[a], zero, cfg)            # (comp, gz, gy, gx)
         acc = padded if acc is None else acc + padded
@@ -89,18 +88,19 @@ def make_structured_ops(info_p: GridInfo, info_u: GridInfo, dim: int):
     return gather_p, gather_u, scatter_p, scatter_u
 
 
-def uniform_geometry_factors(mesh_vertices: np.ndarray, cells_per_axis: int,
+def uniform_geometry_factors(mesh_vertices: np.ndarray, cells_per_axis,
                              quad_points, quad_weights):
     """Geometry factors of ONE cell of a uniform grid, cells-broadcast.
 
     Returns ``jinv (Q, dim, dim, 1)``, ``jxw (Q, 1)`` suitable for the
     shared compute cores (they broadcast over the trailing cell axis).
+    ``cells_per_axis``: int or per-axis counts (anisotropic grids).
     """
     from .geometry import geometry_factors
     lo = mesh_vertices.min(axis=0)
     hi = mesh_vertices.max(axis=0)
     dim = lo.shape[0]
-    h = (hi - lo) / cells_per_axis
+    h = (hi - lo) / np.asarray(cells_per_axis, np.float64)
     corners = np.array(np.indices([2] * dim).reshape(dim, -1).T[:, ::-1],
                        dtype=np.float64) * h
     jinv, jxw = geometry_factors(corners[None], quad_points, quad_weights)

@@ -143,9 +143,10 @@ def shard_grid_discretization(disc, device_mesh: DeviceMesh):
     dim = disc.dim
     spec = NamedSharding(device_mesh, P(CELL_AXIS, *([None] * dim)))
 
-    def wrap(f, g, n_comp):
+    def wrap(f, gs, n_comp):
+        shape = tuple(reversed(gs)) + (n_comp,)     # (z, y, x, comp)
         def inner(x, *a):
-            X = x.reshape((g,) * dim + (n_comp,))
+            X = x.reshape(shape)
             X = jax.lax.with_sharding_constraint(X, spec)
             return f(X.reshape(-1), *a)
         return inner

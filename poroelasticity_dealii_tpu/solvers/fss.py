@@ -132,7 +132,9 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         d, data = self.disc, self.data
         if not isinstance(d, ConvGridDiscretization):
             return None
-        n = d.info_p.cells_per_axis
+        if not d.info_p.isotropic:
+            return None       # V-cycle hierarchy needs equal cells per axis
+        n = d.info_p.cells_per_axis[0]
         n_levels = _gmg_levels(n, d.dim, d.n_pdofs, "auto",
                                auto_threshold=30_000, degree=d.info_p.degree,
                                n_comp=1)

@@ -105,13 +105,14 @@ class ConvGridDiscretization(GridDiscretization):
         return self.stencil_projection(u)
 
 
-def _single_cell_spaces(data: InputData, cells_per_axis: int,
+def _single_cell_spaces(data: InputData, cells_per_axis,
                         pressure_degree: int, displacement_degree: int):
     """1-cell mesh with the uniform grid's cell size, for element matrices."""
-    from ..mesh.generator import hyper_rectangle
+    from ..mesh.generator import hyper_rectangle, normalize_cells_per_axis
     from ..mesh.qk import build_fe_space
     dim = data.dim
-    h = [data.domain_size[d] / cells_per_axis for d in range(dim)]
+    ns = normalize_cells_per_axis(cells_per_axis, dim)
+    h = [data.domain_size[d] / ns[d] for d in range(dim)]
     cell_mesh = hyper_rectangle(h, cells_per_axis=1)
     sp1 = build_fe_space(cell_mesh, pressure_degree)
     su1 = build_fe_space(cell_mesh, displacement_degree)
@@ -169,9 +170,12 @@ def build_grid_discretization(data: InputData,
                               lower=None, upper=None,
                               backend: str = "conv",
                               multigrid: str = "auto") -> GridDiscretization:
+    from ..mesh.generator import normalize_cells_per_axis
     dim = data.dim
     if cells_per_axis is None:
-        cells_per_axis = 2 ** data.initial_refinement_level
+        cells_per_axis = getattr(data, "cells_per_axis", None) \
+            or 2 ** data.initial_refinement_level
+    cells_per_axis = normalize_cells_per_axis(cells_per_axis, dim)
     if dtype is None:
         dtype = np.float64 if data.dtype == "float64" else np.float32
     dtype = np.dtype(dtype)
@@ -279,16 +283,23 @@ def build_grid_discretization(data: InputData,
         stencil_projection=st_proj)
 
     # ---- geometric multigrid for the elasticity solve --------------------
-    n_levels = _gmg_levels(cells_per_axis, dim, u_space.n_nodes * dim,
-                           multigrid)
-    if n_levels >= 2:
-        from .multigrid import build_gmg_elasticity
-        lo = mesh.vertices.min(axis=0)
-        hi = mesh.vertices.max(axis=0)
-        precond, _ = build_gmg_elasticity(
-            data, n_fine=cells_per_axis, n_levels=n_levels, dtype=dtype,
-            lower=lo, upper=hi)
-        d.gmg_precond = precond
+    # (isotropic cell counts only: the V-cycle hierarchy coarsens all axes
+    # together; anisotropic grids fall back to the Jacobi/Richardson path)
+    if len(set(cells_per_axis)) == 1:
+        n_levels = _gmg_levels(cells_per_axis[0], dim, u_space.n_nodes * dim,
+                               multigrid)
+        if n_levels >= 2:
+            from .multigrid import build_gmg_elasticity
+            lo = mesh.vertices.min(axis=0)
+            hi = mesh.vertices.max(axis=0)
+            precond, _ = build_gmg_elasticity(
+                data, n_fine=cells_per_axis[0], n_levels=n_levels,
+                dtype=dtype, lower=lo, upper=hi)
+            d.gmg_precond = precond
+    elif multigrid == "on":
+        raise NotImplementedError(
+            "elasticity GMG needs equal cells per axis; got "
+            f"{cells_per_axis}")
     return d
 
 

@@ -123,3 +123,99 @@ def test_full_time_step_matches_generic_2d():
     assert int(tg.pressure_iterations) == int(ts.pressure_iterations)
     np.testing.assert_allclose(np.asarray(as_.p),
                                np.asarray(ag.p)[perm_p], rtol=1e-9)
+
+
+# ----------------------------------------------------- anisotropic grids --
+
+def _setup_aniso(dim):
+    """Anisotropic cell counts on an anisotropic box: conv path vs generic."""
+    data = read_input_file(GOLDEN)
+    if dim == 3:
+        data = dataclasses.replace(
+            data, dim=3, domain_size=(12.0, 6.0, 3.0),
+            displacement_boundary_labels=(0, 1, 2, 3, 4, 5),
+            displacement_boundary_components=(0, 0, 1, 1, 2, 2),
+            displacement_boundary_values=(0, -1e-5, 0, -1e-5, 0, -1e-5))
+        ns = (4, 2, 3)
+    else:
+        data = dataclasses.replace(data, domain_size=(10.0, 4.0))
+        ns = (8, 3)
+    mesh = hyper_rectangle(data.domain_size[:dim], cells_per_axis=ns)
+    disc_g = build_discretization(mesh, data)
+    disc_s = build_grid_discretization(data, cells_per_axis=ns)
+    return data, disc_g, disc_s
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_aniso_operators_match_generic(dim):
+    data, dg, ds = _setup_aniso(dim)
+    assert not ds.info_p.isotropic
+    perm_p = _perm(ds.pressure_space, dg.pressure_space)
+    perm_u = _perm(ds.displacement_space, dg.displacement_space)
+    rng = np.random.default_rng(1)
+
+    f = rng.standard_normal(ds.n_pdofs)
+    tmp = np.zeros(dg.n_pdofs)
+    tmp[perm_p] = f
+    p_s, p_g = jnp.asarray(f), jnp.asarray(tmp)
+    np.testing.assert_allclose(np.asarray(ds.mass(p_s)),
+                               np.asarray(dg.mass(p_g))[perm_p], rtol=1e-11,
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(ds.laplace(p_s)),
+                               np.asarray(dg.laplace(p_g))[perm_p],
+                               rtol=1e-11, atol=1e-12)
+
+    fu = rng.standard_normal(ds.n_udofs)
+    tmp2 = np.zeros(dg.n_udofs).reshape(-1, dim)
+    tmp2[perm_u] = fu.reshape(-1, dim)
+    u_s, u_g = jnp.asarray(fu), jnp.asarray(tmp2.reshape(-1))
+    perm_ud = (perm_u[:, None] * dim + np.arange(dim)).reshape(-1)
+    ref = np.asarray(dg.elasticity(u_g))[perm_ud]
+    np.testing.assert_allclose(np.asarray(ds.elasticity(u_s)), ref,
+                               rtol=1e-10, atol=1e-8 * np.abs(ref).max())
+    np.testing.assert_allclose(
+        np.asarray(ds.coupling_rhs(p_s, data.biot_coef)),
+        np.asarray(dg.coupling_rhs(p_g, data.biot_coef))[perm_ud],
+        rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(ds.strain_projection_rhs(u_s)),
+        np.asarray(dg.strain_projection_rhs(u_g))[:, perm_p],
+        rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ds.free_mask_u),
+                               np.asarray(dg.free_mask_u)[perm_ud])
+
+
+def test_aniso_full_time_step_matches_generic_2d():
+    data, dg, ds = _setup_aniso(2)
+    perm_p = _perm(ds.pressure_space, dg.pressure_space)
+    sg = FixedStressSolver(dg, data)
+    ss = FixedStressSolver(ds, data)
+    ag, tg = sg.time_step(sg.initial_state(), data.time_step)
+    as_, ts = ss.time_step(ss.initial_state(), data.time_step)
+    assert int(tg.fss_iterations) == int(ts.fss_iterations)
+    np.testing.assert_allclose(np.asarray(as_.p),
+                               np.asarray(ag.p)[perm_p], rtol=1e-9)
+
+
+def test_aniso_deck_entry_drives_structured_runner():
+    """The 'Cells per axis' deck entry reaches the structured fast path."""
+    from poroelasticity_dealii_tpu.config import from_entries, parse_deck
+    from poroelasticity_dealii_tpu.models.runner import SimulationRunner
+    deck = open(GOLDEN).read() + """
+subsection Mesh
+  set Domain size    = 10, 5
+  set Cells per axis = 10, 4
+end
+subsection TPU
+  set Output VTK = false
+end
+"""
+    data = from_entries(parse_deck(deck))
+    assert data.cells_per_axis == (10, 4)
+    runner = SimulationRunner(data)
+    assert runner.disc.info_p.cells_per_axis == (10, 4)
+    assert runner.disc.n_cells == 40
+    state, stats = runner.solver.time_step(runner.solver.initial_state(),
+                                           data.time_step)
+    assert np.isfinite(float(stats.pressure_error))
+    assert float(stats.pressure_error) < data.fss_tol
