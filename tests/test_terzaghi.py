@@ -104,3 +104,27 @@ def test_resync_mode_preserves_eps_v0():
         st, _ = solver.time_step(st, data.time_step)
     np.testing.assert_allclose(np.asarray(st.eps_v0), np.asarray(st0.eps_v0))
     assert not np.allclose(np.asarray(st.eps_v), np.asarray(st0.eps_v))
+
+
+def test_anisotropic_column_matches_analytical_series():
+    """Terzaghi on an anisotropic grid (solution varies along y only): a
+    2-cell-wide, 16-cell-tall conv-path column reproduces the series with
+    1/8th the cells of the square grid."""
+    import dataclasses
+
+    from poroelasticity_dealii_tpu.solvers.structured import \
+        build_grid_discretization
+    data = terzaghi_config(level=4, dt=25.0, resync=True)
+    data = dataclasses.replace(data, cells_per_axis=(2, 16))
+    disc = build_grid_discretization(data)
+    assert disc.info_p.cells_per_axis == (2, 16)
+    solver = FixedStressSolver(disc, data)
+    st = solver.initial_state()
+    for _ in range(10):
+        st, stats = solver.time_step(st, data.time_step)
+    cv = consolidation_coefficient(data)
+    coords = disc.pressure_space.node_coords
+    z = H / 2 - coords[:, 1]
+    p_ana = terzaghi_pressure(z, 250.0, cv, H, P0)
+    err = np.linalg.norm(np.asarray(st.p) - p_ana) / np.linalg.norm(p_ana)
+    assert err < 0.03, err
