@@ -104,7 +104,48 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS):
     return sum(times) / len(times)
 
 
+def breakdown(data, disc, solver):
+    """Per-operator timings at bench scale (--breakdown): where a step's
+    milliseconds go.  Diagnostic only — not part of the JSON metric."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    dt = data.time_step
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.standard_normal(disc.n_pdofs), disc.dtype)
+    u = jnp.asarray(rng.standard_normal(disc.n_udofs), disc.dtype)
+    solver.time_step(solver.initial_state(), dt)   # warm per-dt caches
+    fns = {
+        "mass_apply": (lambda x: disc.mass(x), p),
+        "laplace_apply": (lambda x: disc.laplace(x), p),
+        "pressure_jacobian_fused": (
+            lambda x: solver._pressure_jacobian_apply(x, dt), p),
+        "elasticity_apply": (lambda x: disc.elasticity(x), u),
+        "coupling_rhs": (lambda x: disc.coupling_rhs(x, data.biot_coef), p),
+        "strain_projection_rhs": (
+            lambda x: disc.strain_projection_rhs(x), u),
+    }
+    pre = solver._pressure_precond(dt)
+    if pre is not None:
+        fns["pressure_vcycle"] = (pre, p)
+    for name, (f, x) in fns.items():
+        jf = jax.jit(f)
+        y = jf(x)
+        jax.block_until_ready(y)
+        reps = 30
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = jf(x)
+        jax.block_until_ready(y)
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        print(f"# {name:26s} {ms:8.3f} ms", file=sys.stderr)
+
+
 def main():
+    if "--breakdown" in sys.argv:
+        data, disc, solver, n_dofs = build()
+        breakdown(data, disc, solver)
+        return
     if "--cpu-baseline" in sys.argv:
         data, disc, solver, n_dofs = build(platform="cpu")
         ms = measure(data, solver, n_steps=2) * 1e3

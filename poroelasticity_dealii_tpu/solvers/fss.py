@@ -325,6 +325,13 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
             def body(c):
                 k, p, eps_v, delta_p, r, err, cg_tot, _cg_ok = c
+                # NOTE: unlike the mechanics solve, the pressure CG keeps
+                # its quadratic forms well above f32 operator noise (the
+                # Q1 Jacobian is far better conditioned than Q2 elasticity)
+                # — measured healthy, so no Richardson fallback here.  A
+                # tighter Richardson target (0.25x tol) was tried and spun
+                # to the iteration cap: it sits below the V-cycle's f32
+                # attainable floor on real residuals.
                 res = cg_solve(lambda x: self._pressure_jacobian_apply(x, dt),
                                r, self.disc._hcp.zero_hanging(delta_p),
                                jac_diag,
