@@ -123,20 +123,28 @@ def richardson_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     operator apply itself, and CG's step computation becomes noise-dominated
     (observed on TPU: bit-exact stagnation of GMG-CG at 40^3 elasticity
     while this iteration contracts steadily at ~0.5/step).  No dot products
-    enter the update — only the stopping test."""
+    enter the update — only the stopping test.
+
+    Stops early on stagnation (residual reduction < 2% per iteration,
+    ``converged=False``): a tolerance below the f32 attainable floor of the
+    preconditioned operator otherwise spins all the way to ``max_iter``
+    (measured: 1000 wasted V-cycles per solve at a 0.25x-tightened
+    pressure tolerance)."""
     def cond(state):
-        k, _, rnorm = state
-        return (k < max_iter) & (rnorm > tol)
+        k, _, rnorm, rprev = state
+        return (k < max_iter) & (rnorm > tol) & (rnorm < 0.98 * rprev)
 
     def body(state):
-        k, x, _ = state
+        k, x, rnorm, _ = state
         r = b - apply_a(x)
         x = x + precond(r)
         r2 = b - apply_a(x)
-        return (k + 1, x, jnp.linalg.norm(r2))
+        return (k + 1, x, jnp.linalg.norm(r2), rnorm)
 
     r0 = jnp.linalg.norm(b - apply_a(x0))
-    k, x, rnorm = lax.while_loop(cond, body, (jnp.int32(0), x0, r0))
+    inf = jnp.asarray(jnp.inf, r0.dtype)
+    k, x, rnorm, _ = lax.while_loop(cond, body,
+                                    (jnp.int32(0), x0, r0, inf))
     return CGResult(x=x, iterations=k, residual_norm=rnorm,
                     converged=rnorm <= tol)
 

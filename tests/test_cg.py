@@ -80,3 +80,28 @@ def test_jacobi_preconditioner_helps():
                       jnp.zeros(n), jnp.ones(n), tol, 10000)
     assert bool(res_jac.converged)
     assert int(res_jac.iterations) < int(res_id.iterations)
+
+
+def test_richardson_stagnation_guard():
+    """An unattainable tolerance stops on stagnation, not at max_iter."""
+    import jax.numpy as jnp
+    from poroelasticity_dealii_tpu.solvers.cg import richardson_solve
+    n = 50
+    rng = np.random.default_rng(3)
+    A = np.eye(n) + 0.1 * np.ones((n, n)) / n
+    A = (A + A.T) / 2
+    b = rng.standard_normal(n).astype(np.float32)
+    Aj = jnp.asarray(A, jnp.float32)
+    apply_a = lambda x: Aj @ x  # noqa: E731
+    Minv = jnp.asarray(np.linalg.inv(A), jnp.float32)
+    res = richardson_solve(apply_a, jnp.asarray(b),
+                           jnp.zeros(n, jnp.float32),
+                           lambda r: Minv @ r,
+                           tol=jnp.asarray(0.0, jnp.float32),
+                           max_iter=1000)
+    # f32 floor reached long before 1000 iterations
+    assert int(res.iterations) < 50, int(res.iterations)
+    assert not bool(res.converged)
+    # the solution is still the f32-accurate one
+    x_ref = np.linalg.solve(A, b)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-4)
