@@ -176,8 +176,10 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             from ..ops import dense
             from .structured import _single_cell_spaces
             n = d.info_p.cells_per_axis
+            verts = d.pressure_space.mesh.vertices
+            span = verts.max(axis=0) - verts.min(axis=0)
             _, sp1, _ = _single_cell_spaces(data, n, d.info_p.degree,
-                                            d.info_u.degree)
+                                            d.info_u.degree, span=span)
             Me = dense.mass_element_matrices(sp1)[0]
             Le = dense.laplace_element_matrices(sp1)[0]
             J = Me / (data.m_modulus * dt) + (data.perm / data.visc) * Le

@@ -311,9 +311,18 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
 # concrete builders
 # ---------------------------------------------------------------------------
 
-def _uniform_cell_space(data: InputData, n: int, degree: int):
+def _uniform_cell_space(data: InputData, n: int, degree: int,
+                        lower=None, upper=None):
+    """1-cell space with the level's cell size.  ``lower``/``upper``: the
+    grid's actual bounds (cell size must follow the mesh, not
+    ``domain_size``, when the grid uses custom bounds — e.g. Mandel's
+    quarter domain)."""
     dim = data.dim
-    h = [data.domain_size[d] / n for d in range(dim)]
+    if lower is not None and upper is not None:
+        span = np.asarray(upper, float) - np.asarray(lower, float)
+    else:
+        span = np.asarray(data.domain_size[:dim], float)
+    h = [span[d] / n for d in range(dim)]
     cell_mesh = hyper_rectangle(h, cells_per_axis=1)
     return build_fe_space(cell_mesh, degree)
 
@@ -329,7 +338,7 @@ def build_gmg_elasticity(data: InputData, n_fine: int, n_levels: int,
     lam, mu = data.lame_constant, data.shear_modulus
 
     def emat(n):
-        su1 = _uniform_cell_space(data, n, 2)
+        su1 = _uniform_cell_space(data, n, 2, lower, upper)
         return dense.elasticity_element_matrices(su1, lam, mu)[0]
 
     def fmask(mesh, space, n_comp):
@@ -354,7 +363,7 @@ def build_gmg_pressure(data: InputData, n_fine: int, n_levels: int, dtype,
     iterations.  bf16 smoother applies lose nothing vs f32 (identical
     measured rates) at half the V-cycle cost."""
     def emat(n):
-        sp1 = _uniform_cell_space(data, n, pressure_degree)
+        sp1 = _uniform_cell_space(data, n, pressure_degree, lower, upper)
         Me = dense.mass_element_matrices(sp1)[0]
         Le = dense.laplace_element_matrices(sp1)[0]
         return Me / (data.m_modulus * dt) + (data.perm / data.visc) * Le

@@ -106,13 +106,19 @@ class ConvGridDiscretization(GridDiscretization):
 
 
 def _single_cell_spaces(data: InputData, cells_per_axis,
-                        pressure_degree: int, displacement_degree: int):
-    """1-cell mesh with the uniform grid's cell size, for element matrices."""
+                        pressure_degree: int, displacement_degree: int,
+                        span=None):
+    """1-cell mesh with the uniform grid's cell size, for element matrices.
+
+    ``span``: physical extent per axis (defaults to ``data.domain_size``;
+    pass the actual mesh bounds when the grid uses custom lower/upper)."""
     from ..mesh.generator import hyper_rectangle, normalize_cells_per_axis
     from ..mesh.qk import build_fe_space
     dim = data.dim
     ns = normalize_cells_per_axis(cells_per_axis, dim)
-    h = [data.domain_size[d] / ns[d] for d in range(dim)]
+    if span is None:
+        span = data.domain_size
+    h = [span[d] / ns[d] for d in range(dim)]
     cell_mesh = hyper_rectangle(h, cells_per_axis=1)
     sp1 = build_fe_space(cell_mesh, pressure_degree)
     su1 = build_fe_space(cell_mesh, displacement_degree)
@@ -253,9 +259,11 @@ def build_grid_discretization(data: InputData,
     # ---- conv-stencil backend: fold element matrices into conv kernels ----
     from ..ops import dense, stencil
     from ..ops.operators import VOIGT_PAIRS
+    span = mesh.vertices.max(axis=0) - mesh.vertices.min(axis=0)
     cell_mesh, sp1, su1 = _single_cell_spaces(data, cells_per_axis,
                                               pressure_degree,
-                                              displacement_degree)
+                                              displacement_degree,
+                                              span=span)
     Me = dense.mass_element_matrices(sp1)[0]
     Le = dense.laplace_element_matrices(sp1)[0]
     Ke = dense.elasticity_element_matrices(su1, lam, mu)[0]

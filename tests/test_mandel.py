@@ -94,3 +94,31 @@ def test_plate_reaction_consistent(mandel_run):
     assert p_num[top].min() >= -1e-6 * p0
     drained = np.isclose(coords[:, 0], A)
     np.testing.assert_allclose(p_num[drained], 0.0, atol=1e-9 * p0)
+
+
+def test_mandel_on_anisotropic_conv_grid():
+    """Mandel on the structured conv path with anisotropic cell counts
+    (pressure varies along x only -> 16x4 cells): the pressure field
+    still matches the series, exercising two-way coupling + custom
+    lower/upper bounds + anisotropic stencils together."""
+    from poroelasticity_dealii_tpu.solvers.structured import \
+        build_grid_discretization
+    data = mandel_config(a=A, level=4, dt=5.0)
+    mp = mandel_params(data, a=A, b=A, force=FORCE)
+    p0 = FORCE * mp.skempton * (1 + mp.nu_u) / (3 * A)
+    data = dataclasses.replace(data, p_init=float(p0),
+                               cells_per_axis=(16, 4))
+    disc = build_grid_discretization(data, lower=[0.0, 0.0],
+                                     upper=[A, A])
+    assert disc.info_p.cells_per_axis == (16, 4)
+    solver = FixedStressSolver(disc, data)
+    st = solver.initial_state(bc_scale=mandel_plate_displacement(0.0, mp))
+    t = 0.0
+    for _ in range(20):
+        t += data.time_step
+        st, stats = solver.time_step(
+            st, data.time_step, bc_scale=mandel_plate_displacement(t, mp))
+    x = disc.pressure_space.node_coords[:, 0]
+    p_ana = mandel_pressure(x, t, mp)
+    err = np.linalg.norm(np.asarray(st.p) - p_ana) / np.linalg.norm(p_ana)
+    assert err < 0.06, err

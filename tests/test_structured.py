@@ -219,3 +219,29 @@ end
                                            data.time_step)
     assert np.isfinite(float(stats.pressure_error))
     assert float(stats.pressure_error) < data.fss_tol
+
+
+def test_custom_bounds_conv_path_matches_generic():
+    """Conv element matrices must use the mesh's actual cell size when the
+    grid spans custom lower/upper bounds (not data.domain_size — e.g.
+    Mandel's quarter domain [0, a]^2 with Domain size = 2a)."""
+    data = read_input_file(GOLDEN)   # domain_size (10, 10)
+    lo, up = [0.0, 0.0], [5.0, 5.0]  # span 5 != 10
+    mesh = hyper_rectangle([5.0, 5.0], cells_per_axis=4,
+                           lower=lo, upper=up)
+    dg = build_discretization(mesh, data)
+    ds = build_grid_discretization(data, cells_per_axis=4,
+                                   lower=lo, upper=up)
+    perm_p = _perm(ds.pressure_space, dg.pressure_space)
+    rng = np.random.default_rng(2)
+    f = rng.standard_normal(ds.n_pdofs)
+    tmp = np.zeros(dg.n_pdofs)
+    tmp[perm_p] = f
+    np.testing.assert_allclose(
+        np.asarray(ds.laplace(jnp.asarray(f))),
+        np.asarray(dg.laplace(jnp.asarray(tmp)))[perm_p],
+        rtol=1e-11, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(ds.mass(jnp.asarray(f))),
+        np.asarray(dg.mass(jnp.asarray(tmp)))[perm_p],
+        rtol=1e-11, atol=1e-13)
