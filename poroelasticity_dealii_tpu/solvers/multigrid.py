@@ -156,7 +156,7 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
               degree: int, n_comp: int,
               free_mask_fn: Callable,
               smoother_degree: int = 3, smoother_precision=None,
-              lower=None, upper=None):
+              lower=None, upper=None, cycle: int = 1):
     """Build a V-cycle preconditioner for a Q_degree operator on an
     ``n_fine``-cells-per-axis structured grid.
 
@@ -296,7 +296,13 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
         lmin = lev.lmax / 8.0   # smooth the upper spectrum only
         x = chebyshev_smooth(lev.apply, lev.inv_diag, r, deg, lev.lmax, lmin)
         rc = lev.restrict(r - lev.apply(x))
-        x = x + lev.prolong(vcycle(l + 1, rc))
+        # cycle=1: V-cycle; cycle=2: W-cycle (re-residualized recursion —
+        # coarser levels cost ~2^-dim each, so the extra visits are cheap)
+        xc = vcycle(l + 1, rc)
+        nxt = levels[l + 1]
+        for _ in range(cycle - 1):
+            xc = xc + vcycle(l + 1, rc - nxt.apply(xc))
+        x = x + lev.prolong(xc)
         x = x + chebyshev_smooth(lev.apply, lev.inv_diag, r - lev.apply(x),
                                  deg, lev.lmax, lmin)
         return x
@@ -354,7 +360,8 @@ def build_gmg_elasticity(data: InputData, n_fine: int, n_levels: int,
 def build_gmg_pressure(data: InputData, n_fine: int, n_levels: int, dtype,
                        dt: float, pressure_degree: int = 1,
                        smoother_degree: int = 3,
-                       lower=None, upper=None, smoother_precision=None):
+                       lower=None, upper=None, smoother_precision=None,
+                       cycle: int = 1):
     """V-cycle for the pressure Jacobian mass/(M dt) + (k/mu) L.
 
     Smoother degree 3 (vs 2) was measured on a v5e at 40^3: per-iteration
@@ -375,4 +382,4 @@ def build_gmg_pressure(data: InputData, n_fine: int, n_levels: int, dtype,
     return build_gmg(data, n_fine, n_levels, dtype, emat, pressure_degree,
                      1, fmask, smoother_degree=smoother_degree,
                      smoother_precision=smoother_precision,
-                     lower=lower, upper=upper)
+                     lower=lower, upper=upper, cycle=cycle)
