@@ -1,0 +1,275 @@
+"""Comp-major fully-2-D dataflow for the fused 3D Q2 elasticity apply.
+
+Round-1 Mosaic probing (scripts/mosaic_probes.py, v5e) proved these
+primitives on device: dynamic 2-D HBM->VMEM DMA over row ranges, shifted
+2-D slices + concatenation, many-window shifted-slice accumulation,
+in-kernel transpose, and MXU matmuls with contraction dim 81.  In-kernel
+reshapes that merge minor dims and lane-strided slices FAIL — so this
+module keeps the entire kernel dataflow strictly 2-D and strided-access
+free by fixing the layout on the host:
+
+* the (2n+1)^3 x 3 node grid is split into **24 parity-comp planes per
+  z-half-layer** (2 parities per axis x 3 components), each plane
+  flattened over (y-half, x-half) into one row of ``(n+1)^2`` lanes
+  (zero-padded to a 128 multiple) — rows are ordered z-half-major so any
+  z-slab is one contiguous row range (single 2-D DMA);
+* the per-cell gather for local Q2 node offset (ox, oy, oz) is then a
+  plain **lane-shifted slice** of row ``r(zh + (oz>>1), oz&1, oy&1,
+  ox&1, c)`` at lane offset ``(oy>>1) * (n+1) + (ox>>1)`` — stacking the
+  81 (node, comp) slices gives the ``(81, n(n+1))`` matmul operand whose
+  lane axis enumerates the layer's cells (x fastest) plus one masked
+  phantom column per y-row (~1/n wasted lanes);
+* ``ye = Ke @ U`` on the MXU ((81, 81) x (81, n(n+1))), and the assembly
+  scatter is the exact transpose: mask phantoms, lane-shift right, add
+  into the target parity-comp row.
+
+:func:`make_reference_apply` runs the dataflow in pure jnp (index-math
+oracle, validated against the conv path in tests/test_pallas.py);
+:func:`make_pallas_apply` is the same dataflow inside a Pallas kernel
+with z-slab blocking (VMEM-resident operand/accumulators).
+
+STATUS: compiles and runs on device (v5e) at full f32 accuracy
+(rel err 2e-7 vs the conv path at 40^3 / 1.66M DOF).  Measured
+6.19 ms/apply vs the conv path's 6.90 ms — correct but only ~10%
+faster yet: the per-(node, comp) scatter read-modify-writes (81 x tc
+small vector RMWs per block) dominate, not the MXU work.  Optimization
+queue: batch the 3 components per node into one (3, Lc) RMW, batch
+cell layers into one matmul per shift group, and move the row-layout
+conversion (to_rows/from_rows) into the kernel's DMA pattern.  The
+production elasticity apply (reference
+``PoroElasticDisplacementSolver.h:155-291``) remains the conv-stencil
+path until this kernel clearly beats it.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.shape import node_lattice
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pl = pltpu = None
+
+
+def _width(n: int) -> int:
+    """Padded lane width: >= (n+1)^2 + max shift (n+2), 128-multiple."""
+    need = (n + 1) * (n + 1) + (n + 2)
+    return -(-need // 128) * 128
+
+
+def to_rows(u_flat, n: int):
+    """Flat dof vector ((2n+1)^3 * 3,) -> row layout ((n+1)*24, W).
+
+    Row index = zh*24 + ((pz*2 + py)*2 + px)*3 + c; lane = yh*(n+1) + xh.
+    """
+    g = 2 * n + 1
+    W = _width(n)
+    U = u_flat.reshape(g, g, g, 3)
+    U = jnp.pad(U, ((0, 1), (0, 1), (0, 1), (0, 0)))    # to 2n+2 per axis
+    V = U.reshape(n + 1, 2, n + 1, 2, n + 1, 2, 3)       # zh pz yh py xh px c
+    V = V.transpose(0, 1, 3, 5, 6, 2, 4)                 # zh pz py px c yh xh
+    R = V.reshape((n + 1) * 24, (n + 1) * (n + 1))
+    return jnp.pad(R, ((0, 0), (0, W - R.shape[1])))
+
+
+def from_rows(R, n: int):
+    """Inverse of :func:`to_rows` -> flat dof vector."""
+    g = 2 * n + 1
+    V = R[:, :(n + 1) * (n + 1)].reshape(
+        n + 1, 2, 2, 2, 3, n + 1, n + 1)                 # zh pz py px c yh xh
+    V = V.transpose(0, 1, 5, 2, 6, 3, 4)                 # zh pz yh py xh px c
+    U = V.reshape(2 * n + 2, 2 * n + 2, 2 * n + 2, 3)
+    return U[:g, :g, :g, :].reshape(-1)
+
+
+def _slice_params(n: int):
+    """Per local Q2 node a: (dz, row-offset-within-zh-block, lane shift)."""
+    lat = node_lattice(2, 3)                            # (27, 3) x-first
+    out = []
+    for a in range(27):
+        ox, oy, oz = int(lat[a, 0]), int(lat[a, 1]), int(lat[a, 2])
+        dz = oz >> 1
+        base = (((oz & 1) * 2 + (oy & 1)) * 2 + (ox & 1)) * 3
+        shift = (oy >> 1) * (n + 1) + (ox >> 1)
+        out.append((dz, base, shift))
+    return out
+
+
+def cell_lane_mask(n: int, dtype):
+    """(n(n+1),) 1 on real cell lanes, 0 on the per-row phantom column."""
+    lanes = np.arange(n * (n + 1))
+    return jnp.asarray((lanes % (n + 1)) < n, dtype)
+
+
+def _shift_groups(params):
+    """Group the 81 (node, comp) operand rows by lane shift.
+
+    Returns [(shift, col0, [(kk, dz, row_offset_within_zh), ...]), ...]
+    where ``col0`` is the group's first column in the shift-group-permuted
+    element matrix (see :func:`_permute_columns`).
+    """
+    groups = {}
+    kk = 0
+    for (dz, base, shift) in params:
+        for c in range(3):
+            groups.setdefault(shift, []).append((kk, dz, base + c))
+            kk += 1
+    out = []
+    col0 = 0
+    for shift in sorted(groups):
+        out.append((shift, col0, groups[shift]))
+        col0 += len(groups[shift])
+    return out
+
+
+def _permute_columns(element_matrix: np.ndarray, params):
+    """Permute Ke's columns so each shift group is a contiguous block."""
+    perm = [kk for (_, _, members) in _shift_groups(params)
+            for (kk, _, _) in members]
+    return np.asarray(element_matrix)[:, perm]
+
+
+def make_reference_apply(element_matrix: np.ndarray, n: int,
+                         dtype=jnp.float32):
+    """Pure-jnp implementation of the comp-major slab dataflow (index-math
+    oracle for the Pallas kernel; not performance-relevant)."""
+    Ke = jnp.asarray(element_matrix, dtype)             # (81, 81)
+    Lc = n * (n + 1)
+    params = _slice_params(n)
+    mask = cell_lane_mask(n, dtype)
+
+    def apply(u_flat):
+        R = to_rows(u_flat, n)
+        out = jnp.zeros_like(R)
+        for iz in range(n):
+            ops_rows = []
+            for (dz, base, shift) in params:
+                for c in range(3):
+                    r = (iz + dz) * 24 + base + c
+                    ops_rows.append(R[r, shift:shift + Lc])
+            U = jnp.stack(ops_rows)                     # (81, Lc)
+            ye = (Ke @ U) * mask                        # (81, Lc)
+            k = 0
+            for (dz, base, shift) in params:
+                for c in range(3):
+                    r = (iz + dz) * 24 + base + c
+                    out = out.at[r, shift:shift + Lc].add(ye[k])
+                    k += 1
+        return from_rows(out, n)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: same dataflow, z-slab blocked, VMEM-resident
+# ---------------------------------------------------------------------------
+
+def _kernel(rows_hbm, ke_ref, mask_ref, out_ref, scratch, sem, *,
+            n: int, tc: int, W: int):
+    """One slab of ``tc`` cell layers [k*tc, k*tc + tc).
+
+    Emits (tc+1) z-half layers of output rows; neighboring blocks overlap
+    by one z-half layer, which the host sums afterwards (each block's
+    writes stay disjoint — no cross-block races in-kernel).
+    """
+    k = pl.program_id(0)
+
+    dma = pltpu.make_async_copy(
+        rows_hbm.at[pl.ds(k * tc * 24, (tc + 1) * 24)], scratch, sem)
+    dma.start()
+    dma.wait()
+
+    Lc = n * (n + 1)
+    params = _slice_params(n)
+    m = mask_ref[...]                                   # (1, W)
+    groups = _shift_groups(params)
+    Kp = ke_ref[...]            # columns pre-permuted group-contiguous
+    out_ref[...] = jnp.zeros_like(out_ref)
+    for zr in range(tc):                                # cell layer
+        ye = None
+        # Mosaic accepts sublane-concat ONLY for equal lane offsets
+        # (scripts/mosaic_probes.py): one concat + matmul per shift group
+        for (shift, col0, members) in groups:
+            ops_rows = [scratch[(zr + dz) * 24 + rofs:
+                                (zr + dz) * 24 + rofs + 1,
+                                shift:shift + Lc]
+                        for (_, dz, rofs) in members]
+            U_s = jnp.concatenate(ops_rows, axis=0)     # (len_s, Lc)
+            K_s = Kp[:, col0:col0 + len(members)]       # contiguous block
+            part = jnp.dot(K_s, U_s,
+                           preferred_element_type=out_ref.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+            ye = part if ye is None else ye + part
+        ye = ye * m[:, :Lc]                             # phantom columns
+        # phantom cell LAYERS in the tail block read the real zh=n row —
+        # zero their contribution (valid is a traced scalar in k)
+        valid = (k * tc + zr < n).astype(out_ref.dtype)
+        ye = ye * valid
+        # assembly scatter: per-row read-modify-write at the lane shift
+        # (Mosaic handles odd offsets on both sides — probe G)
+        kk = 0
+        for (dz, base, shift) in params:
+            for c in range(3):
+                r = (zr + dz) * 24 + base + c
+                out_ref[r:r + 1, shift:shift + Lc] += ye[kk:kk + 1]
+                kk += 1
+
+
+def make_pallas_apply(element_matrix: np.ndarray, n: int,
+                      dtype=jnp.float32, tc: int = 4,
+                      interpret: bool = False):
+    """Fused elasticity apply ``u_flat -> y_flat`` via the comp-major
+    Pallas kernel (3D structured Q2, ``n`` cells per axis)."""
+    W = _width(n)
+    Ke = jnp.asarray(_permute_columns(element_matrix, _slice_params(n)),
+                     dtype)
+    mask_row = cell_lane_mask(n, dtype)
+    mask = jnp.zeros((1, W), dtype).at[0, :mask_row.shape[0]].set(mask_row)
+    n_blocks = math.ceil(n / tc)
+    zh_pad = n_blocks * tc + 1                          # input z-half layers
+    kern = partial(_kernel, n=n, tc=tc, W=W)
+
+    @jax.jit
+    def apply(u_flat):
+        R = to_rows(u_flat, n)                          # ((n+1)*24, W)
+        R = jnp.pad(R, ((0, (zh_pad - (n + 1)) * 24), (0, 0)))
+        out = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((81, 81), lambda k: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, W), lambda k: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(((tc + 1) * 24, W), lambda k: (k, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_blocks * (tc + 1) * 24, W), dtype),
+            scratch_shapes=[
+                pltpu.VMEM(((tc + 1) * 24, W), dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(R, Ke, mask)
+        # blocks overlap by one z-half layer: block k emits z-half layers
+        # [k*tc, k*tc + tc]; sum the overlapping copies
+        acc = jnp.zeros(((n + 1) * 24, W), dtype)
+        blocks = out.reshape(n_blocks, (tc + 1) * 24, W)
+        for k in range(n_blocks):
+            lo = k * tc * 24
+            hi = min(lo + (tc + 1) * 24, (n + 1) * 24)
+            acc = acc.at[lo:hi].add(blocks[k, :hi - lo])
+        return from_rows(acc, n)
+
+    return apply
