@@ -30,15 +30,27 @@ with z-slab blocking (VMEM-resident operand/accumulators).
 
 STATUS: compiles and runs on device (v5e) at full f32 accuracy
 (rel err 2e-7 vs the conv path at 40^3 / 1.66M DOF).  Measured
-6.19 ms/apply vs the conv path's 6.90 ms — correct but only ~10%
-faster yet: the per-(node, comp) scatter read-modify-writes (81 x tc
-small vector RMWs per block) dominate, not the MXU work.  Optimization
-queue: batch the 3 components per node into one (3, Lc) RMW, batch
-cell layers into one matmul per shift group, and move the row-layout
-conversion (to_rows/from_rows) into the kernel's DMA pattern.  The
-production elasticity apply (reference
-``PoroElasticDisplacementSolver.h:155-291``) remains the conv-stencil
-path until this kernel clearly beats it.
+~6.2 ms/apply vs the conv path's ~6.9 ms (~10% faster).  Profiling
+notes from round 1 (each verified by ablation on device):
+
+* the standalone pallas_call with pre-laid-out input runs in
+  1.2-2.2 ms; embedded in the full apply it reads ~6.2 ms total;
+* per-comp -> per-node (3, Lc) scatter batching: no change (the RMWs
+  are not the bottleneck);
+* the host-side block-overlap .at[].add chain compiled to 9 sequential
+  full-array fusions — replaced by a single stitch-concatenation
+  (HLO verified clean), still no wall-clock change;
+* jax.lax.optimization_barrier before the custom call: no change;
+* remaining suspects: the XLA relayout copies around the custom call
+  (two ~8 MB copies each way for the to_rows/from_rows transposes,
+  visible in HLO as {2,1,3,0}-layout copies) and the sequential
+  per-block DMA-wait-compute structure (no double buffering yet).
+
+Next steps: double-buffer the slab DMA, and/or keep the row layout as
+the solver's persistent format (dots/axpys are layout-agnostic, so
+only Dirichlet masks and hc tables need re-indexing).  The production
+elasticity apply (reference ``PoroElasticDisplacementSolver.h:155-291``)
+remains the conv-stencil path until this kernel clearly beats it.
 """
 
 from __future__ import annotations
@@ -197,12 +209,14 @@ def _kernel(rows_hbm, ke_ref, mask_ref, out_ref, scratch, sem, *,
     for zr in range(tc):                                # cell layer
         ye = None
         # Mosaic accepts sublane-concat ONLY for equal lane offsets
-        # (scripts/mosaic_probes.py): one concat + matmul per shift group
+        # (scripts/mosaic_probes.py): one concat + matmul per shift group.
+        # All 3 comps of a node share a row block and a shift -> slice and
+        # scatter (3, Lc) node blocks, 3x fewer vector ops than per-comp.
         for (shift, col0, members) in groups:
             ops_rows = [scratch[(zr + dz) * 24 + rofs:
-                                (zr + dz) * 24 + rofs + 1,
+                                (zr + dz) * 24 + rofs + 3,
                                 shift:shift + Lc]
-                        for (_, dz, rofs) in members]
+                        for (_, dz, rofs) in members[::3]]
             U_s = jnp.concatenate(ops_rows, axis=0)     # (len_s, Lc)
             K_s = Kp[:, col0:col0 + len(members)]       # contiguous block
             part = jnp.dot(K_s, U_s,
@@ -214,14 +228,11 @@ def _kernel(rows_hbm, ke_ref, mask_ref, out_ref, scratch, sem, *,
         # zero their contribution (valid is a traced scalar in k)
         valid = (k * tc + zr < n).astype(out_ref.dtype)
         ye = ye * valid
-        # assembly scatter: per-row read-modify-write at the lane shift
-        # (Mosaic handles odd offsets on both sides — probe G)
-        kk = 0
-        for (dz, base, shift) in params:
-            for c in range(3):
-                r = (zr + dz) * 24 + base + c
-                out_ref[r:r + 1, shift:shift + Lc] += ye[kk:kk + 1]
-                kk += 1
+        # assembly scatter: per-node (3, Lc) read-modify-write at the lane
+        # shift (Mosaic handles odd offsets on both sides — probe G)
+        for a, (dz, base, shift) in enumerate(params):
+            r = (zr + dz) * 24 + base
+            out_ref[r:r + 3, shift:shift + Lc] += ye[3 * a:3 * a + 3]
 
 
 def make_pallas_apply(element_matrix: np.ndarray, n: int,
@@ -242,6 +253,9 @@ def make_pallas_apply(element_matrix: np.ndarray, n: int,
     def apply(u_flat):
         R = to_rows(u_flat, n)                          # ((n+1)*24, W)
         R = jnp.pad(R, ((0, (zh_pad - (n + 1)) * 24), (0, 0)))
+        # keep XLA from fusing the layout transpose into the custom-call
+        # boundary (measured +2.7 ms relayout when fused)
+        R = jax.lax.optimization_barrier(R)
         out = pl.pallas_call(
             kern,
             grid=(n_blocks,),
@@ -263,13 +277,22 @@ def make_pallas_apply(element_matrix: np.ndarray, n: int,
             interpret=interpret,
         )(R, Ke, mask)
         # blocks overlap by one z-half layer: block k emits z-half layers
-        # [k*tc, k*tc + tc]; sum the overlapping copies
-        acc = jnp.zeros(((n + 1) * 24, W), dtype)
+        # [k*tc, k*tc + tc].  Stitch with ONE concatenation, adding only
+        # each block's 24 overlapping head rows — sequential .at[].add
+        # updates compiled to a chain of full-array fusions (~124 MB of
+        # HBM traffic, 2x the kernel itself)
         blocks = out.reshape(n_blocks, (tc + 1) * 24, W)
+        tail_zh = n - (n_blocks - 1) * tc
+        parts = []
         for k in range(n_blocks):
-            lo = k * tc * 24
-            hi = min(lo + (tc + 1) * 24, (n + 1) * 24)
-            acc = acc.at[lo:hi].add(blocks[k, :hi - lo])
+            head = blocks[k, :24]
+            if k > 0:
+                head = head + blocks[k - 1, tc * 24:]
+            if k < n_blocks - 1:
+                parts += [head, blocks[k, 24:tc * 24]]
+            else:
+                parts += [head, blocks[k, 24:(tail_zh + 1) * 24]]
+        acc = jnp.concatenate(parts, axis=0)            # ((n+1)*24, W)
         return from_rows(acc, n)
 
     return apply
