@@ -56,17 +56,20 @@ def main(argv=None):
     # run
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    import dataclasses
+
     from .config import read_input_file
     data = read_input_file(args.deck)
-    if args.x64 or data.dtype == "float64":
+    if args.x64:
+        # force f64 end to end: the solver arrays follow data.dtype, not
+        # just the jax x64 switch
+        data = dataclasses.replace(data, dtype="float64")
+    if data.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
-    from .models.runner import SimulationRunner, run_from_deck
+    from .models.runner import run_from_data
 
     def go():
-        if data.amr:
-            run_from_deck(args.deck, resume_from=args.resume)
-        else:
-            SimulationRunner(data).run(resume_from=args.resume)
+        run_from_data(data, resume_from=args.resume)
 
     if args.profile:
         from .utils.profiling import device_trace

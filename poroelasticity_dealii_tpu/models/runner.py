@@ -92,17 +92,21 @@ class SimulationRunner:
                 # the reference aborts from deal.II SolverControl; we warn
                 # and keep the run alive with the partial solve
                 import warnings
+                if bool(getattr(stats, "cg_stalled", False)):
+                    reason = ("stagnated (residual reduction < 2%/iter — "
+                              "often the benign f32 attainable floor)")
+                else:
+                    reason = "hit its iteration cap"
                 warnings.warn(
-                    f"step {step}: a linear solve hit its iteration cap "
-                    "before reaching tolerance", RuntimeWarning)
+                    f"step {step}: a linear solve {reason} before reaching "
+                    "tolerance", RuntimeWarning)
         self.logger.close()
         return state
 
 
-def run_from_deck(path: str, resume_from: Optional[str] = None) -> State:
-    """CLI entry: deck file -> full simulation (parse_command_line.h + main
-    semantics)."""
-    data = read_input_file(path)
+def run_from_data(data: InputData, resume_from: Optional[str] = None) -> State:
+    """Full simulation from a parsed deck: applies runtime deck options
+    (debug NaNs) and dispatches to the AMR or uniform-mesh driver."""
     if data.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)
@@ -115,3 +119,9 @@ def run_from_deck(path: str, resume_from: Optional[str] = None) -> State:
         return state
     runner = SimulationRunner(data)
     return runner.run(resume_from=resume_from)
+
+
+def run_from_deck(path: str, resume_from: Optional[str] = None) -> State:
+    """CLI entry: deck file -> full simulation (parse_command_line.h + main
+    semantics)."""
+    return run_from_data(read_input_file(path), resume_from=resume_from)

@@ -44,6 +44,10 @@ class CGResult(NamedTuple):
     iterations: jnp.ndarray   # int32 — number of A-applies performed
     residual_norm: jnp.ndarray
     converged: jnp.ndarray    # bool
+    stalled: jnp.ndarray = False  # bool — ended on a stagnation early-exit
+    #                               (residual flat-lined, e.g. the f32
+    #                               attainable floor) rather than the
+    #                               iteration cap
 
 
 def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
@@ -126,27 +130,32 @@ def richardson_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
     enter the update — only the stopping test.
 
     Stops early on stagnation (residual reduction < 2% per iteration,
-    ``converged=False``): a tolerance below the f32 attainable floor of the
-    preconditioned operator otherwise spins all the way to ``max_iter``
-    (measured: 1000 wasted V-cycles per solve at a 0.25x-tightened
-    pressure tolerance)."""
+    ``converged=False``, ``stalled=True``): a tolerance below the f32
+    attainable floor of the preconditioned operator otherwise spins all the
+    way to ``max_iter`` (measured: 1000 wasted V-cycles per solve at a
+    0.25x-tightened pressure tolerance).
+
+    The residual vector is carried in the loop state, so each iteration
+    costs ONE operator apply (plus one V-cycle)."""
     def cond(state):
-        k, _, rnorm, rprev = state
+        k, _, _, rnorm, rprev = state
         return (k < max_iter) & (rnorm > tol) & (rnorm < 0.98 * rprev)
 
     def body(state):
-        k, x, rnorm, _ = state
-        r = b - apply_a(x)
+        k, x, r, rnorm, _ = state
         x = x + precond(r)
-        r2 = b - apply_a(x)
-        return (k + 1, x, jnp.linalg.norm(r2), rnorm)
+        r_new = b - apply_a(x)
+        return (k + 1, x, r_new, jnp.linalg.norm(r_new), rnorm)
 
-    r0 = jnp.linalg.norm(b - apply_a(x0))
-    inf = jnp.asarray(jnp.inf, r0.dtype)
-    k, x, rnorm, _ = lax.while_loop(cond, body,
-                                    (jnp.int32(0), x0, r0, inf))
+    r0 = b - apply_a(x0)
+    rnorm0 = jnp.linalg.norm(r0)
+    inf = jnp.asarray(jnp.inf, rnorm0.dtype)
+    k, x, _, rnorm, rprev = lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, rnorm0, inf))
+    converged = rnorm <= tol
     return CGResult(x=x, iterations=k, residual_norm=rnorm,
-                    converged=rnorm <= tol)
+                    converged=converged,
+                    stalled=~converged & (rnorm >= 0.98 * rprev))
 
 
 def cg_solve_batched(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,

@@ -55,9 +55,12 @@ class StepStats(NamedTuple):
     mech_cg_iterations: jnp.ndarray
     projection_cg_iterations: jnp.ndarray
     fss_error_history: jnp.ndarray     # (max_fss,) padded with -1
-    cg_converged: jnp.ndarray = True   # False if ANY linear solve hit its
-    #                                    iteration cap (the reference throws
-    #                                    from deal.II SolverControl instead)
+    cg_converged: jnp.ndarray = True   # False if ANY linear solve ended
+    #                                    before tolerance (the reference
+    #                                    throws from deal.II SolverControl)
+    cg_stalled: jnp.ndarray = False    # True if a non-converged solve ended
+    #                                    on the stagnation early-exit (f32
+    #                                    floor) rather than the iteration cap
 
 
 class State(NamedTuple):
@@ -230,7 +233,8 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             res = cg_solve(apply, b_mod, x0, d.diag_elasticity,
                            tol=tol, max_iter=data.cg_max_iterations,
                            precond=precond)
-        return d._hcu.distribute(res.x), res.iterations, res.converged
+        return (d._hcu.distribute(res.x), res.iterations, res.converged,
+                jnp.asarray(res.stalled))
 
     # ---------------- strain projection -------------------------------------
 
@@ -269,7 +273,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         dim = d.dim
         n_voigt = len(VOIGT_PAIRS[dim])
         p = p0 * d.free_mask_p + d.dirichlet_values_p * (1.0 - d.free_mask_p)
-        u, _, _ = self._mechanics_solve(p, u0, bc_scale)
+        u, _, _, _ = self._mechanics_solve(p, u0, bc_scale)
         vol = VOLUMETRIC_ENTRIES[dim]
         warm = jnp.zeros((len(vol), d.n_pdofs), d.dtype)
         vol_strains, _, _ = self._project(u, vol, warm)
@@ -361,7 +365,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             delta_p = jnp.zeros_like(c["p"])  # reset per FSS iteration (:356)
             p, eps_v, delta_p, err_p, n_press, cg_p, ok_p = pressure_inner(
                 c["p"], c["eps_v"], delta_p)
-            u, cg_u, ok_u = self._mechanics_solve(p, c["u"], bc_scale)
+            u, cg_u, ok_u, st_u = self._mechanics_solve(p, c["u"], bc_scale)
             vol_strains, cg_proj, ok_pr = self._project(
                 u, vol, c["vol_strains"])
             if resync:
@@ -380,6 +384,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 cg_proj=c["cg_proj"] + cg_proj,
                 err_hist=c["err_hist"].at[it].set(err),
                 cg_ok=c["cg_ok"] & ok_p & ok_u & ok_pr,
+                cg_stall=c["cg_stall"] | st_u,
             )
 
         carry = dict(
@@ -391,6 +396,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             cg_proj=jnp.int32(0),
             err_hist=jnp.full((max_fss,), -1.0, d.dtype),
             cg_ok=jnp.bool_(True),
+            cg_stall=jnp.bool_(False),
         )
         c = jax.lax.while_loop(fss_cond, fss_body, carry)
 
@@ -417,7 +423,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             pressure_cg_iterations=c["cg_p"], mech_cg_iterations=c["cg_u"],
             projection_cg_iterations=cg_proj,
             fss_error_history=c["err_hist"],
-            cg_converged=cg_ok)
+            cg_converged=cg_ok, cg_stalled=c["cg_stall"])
         return new_state, stats
 
     # ---------------- nodal effective stresses ------------------------------

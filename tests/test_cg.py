@@ -102,6 +102,7 @@ def test_richardson_stagnation_guard():
     # f32 floor reached long before 1000 iterations
     assert int(res.iterations) < 50, int(res.iterations)
     assert not bool(res.converged)
+    assert bool(res.stalled)   # stagnation exit, not the iteration cap
     # the solution is still the f32-accurate one
     x_ref = np.linalg.solve(A, b)
     np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-4)

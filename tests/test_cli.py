@@ -14,10 +14,14 @@ REFERENCE_MSH = "/root/reference/domain.msh"
 
 
 def _run_cli(args, cwd):
+    # PYTHONPATH=REPO: the subprocess must find the package even when it is
+    # not installed into the interpreter's site-packages
+    pypath = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
     return subprocess.run(
         [sys.executable, "-m", "poroelasticity_dealii_tpu", *args],
         cwd=cwd, capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"}, timeout=600)
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": pypath},
+        timeout=600)
 
 
 def test_check_subcommand(tmp_path):
