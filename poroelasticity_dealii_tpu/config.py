@@ -188,6 +188,12 @@ _SCHEMA = {
     # replicates that and 0..dim-1 actually enables it.
     ("TPU", "Gravity direction"): ("-1", _int(-1, 2)),
     ("TPU", "Debug NaNs"): ("false", _str({"true", "false"})),
+    # Elasticity operator backend on structured 3D grids: 'pallas' runs the
+    # mechanics CG in the comp-major row layout through the fused Pallas
+    # kernel (ops/pallas_comp_major.py, TPU only); 'conv' keeps the
+    # XLA-convolution stencil; 'auto' picks pallas when eligible (3D Q2,
+    # equal cells per axis, TPU backend).
+    ("TPU", "Elasticity backend"): ("auto", _str({"auto", "conv", "pallas"})),
 }
 
 
@@ -247,6 +253,7 @@ class InputData:
     resync_volumetric_strain: bool = False
     gravity_direction: int = -1
     debug_nans: bool = False
+    elasticity_backend: str = "auto"
 
     # ---- derived poroelastic moduli (InputDataPoroel.h:213-222) ----
     @property
@@ -340,6 +347,7 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
             vals[("TPU", "Volumetric strain resync")] == "true"),
         gravity_direction=vals[("TPU", "Gravity direction")],
         debug_nans=vals[("TPU", "Debug NaNs")] == "true",
+        elasticity_backend=vals[("TPU", "Elasticity backend")],
     )
 
     nbc = len(data.displacement_boundary_labels)

@@ -28,33 +28,41 @@ oracle, validated against the conv path in tests/test_pallas.py);
 :func:`make_pallas_apply` is the same dataflow inside a Pallas kernel
 with z-slab blocking (VMEM-resident operand/accumulators).
 
-STATUS: compiles and runs on device (v5e) at full f32 accuracy
-(rel err 2e-7 vs the conv path at 40^3 / 1.66M DOF).  Measured
-~6.2 ms/apply vs the conv path's ~6.9 ms (~10% faster).  Profiling
-notes from round 1 (each verified by ablation on device):
+STATUS (round 2): PRODUCTION.  The v2 kernel (:func:`_kernel_v2`) is the
+mechanics apply on TPU: the round-1 profiling showed the kernel itself at
+1.1-2.2 ms with ~3.4 ms spent in EACH of to_rows/from_rows per apply (the
+7-D layout transposes — 200x above their HBM streaming floor), so v2
 
-* the standalone pallas_call with pre-laid-out input runs in
-  1.2-2.2 ms; embedded in the full apply it reads ~6.2 ms total;
-* per-comp -> per-node (3, Lc) scatter batching: no change (the RMWs
-  are not the bottleneck);
-* the host-side block-overlap .at[].add chain compiled to 9 sequential
-  full-array fusions — replaced by a single stitch-concatenation
-  (HLO verified clean), still no wall-clock change;
-* jax.lax.optimization_barrier before the custom call: no change;
-* remaining suspects: the XLA relayout copies around the custom call
-  (two ~8 MB copies each way for the to_rows/from_rows transposes,
-  visible in HLO as {2,1,3,0}-layout copies) and the sequential
-  per-block DMA-wait-compute structure (no double buffering yet).
+* keeps the z-half-layer overlap in a VMEM ``carry`` scratch handed
+  between the sequential grid steps — output tiles are disjoint, the
+  round-1 host-side stitch (1.1 ms) is gone;
+* double-buffers the input slab DMA (guide pattern);
+* exposes :func:`make_pallas_apply_rows` (rows -> rows, NO layout
+  conversions) + :class:`ElasticityRowOps` so the mechanics CG runs
+  entirely in row layout — dots/axpys/norms/masks are layout-exact, and
+  the to_rows/from_rows conversions happen once per SOLVE, not per apply
+  (fss._mechanics_solve).
 
-Next steps: double-buffer the slab DMA, and/or keep the row layout as
-the solver's persistent format (dots/axpys are layout-agnostic, so
-only Dirichlet masks and hc tables need re-indexing).  The production
-elasticity apply (reference ``PoroElasticDisplacementSolver.h:155-291``)
-remains the conv-stencil path until this kernel clearly beats it.
+Measured on v5e at 40^3 (1.66M DOF), f32: rows->rows apply 0.55-0.9 ms
+(tc=10) vs the conv-stencil path's 6.9 ms — 7-12x; rel err 2.3e-7.
+Remaining headroom (speed-of-light ~40 us = 17 MB HBM + 0.86 GFLOP): the
+per-layer VMEM shuffle (4 shift-group concats + 27 scatter RMWs) — see
+docs/ROADMAP.md.
+
+Round-1 ablation notes (kept for the record): per-comp -> per-node
+scatter batching no change; stitch as single concatenation no change;
+optimization_barrier no change; the relayout copies around the custom
+call were the dominant cost, eliminated by the persistent row layout.
+
+Gotchas: under ``jax_enable_x64`` every index that reaches Mosaic (slot
+indices, BlockSpec index-map returns) must be explicit int32 — plain
+Python ints trace to i64 and the lowering either recurses (``% 2``) or
+fails to legalize (``func.return (i64, i64)``).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from functools import partial
 
@@ -182,7 +190,197 @@ def make_reference_apply(element_matrix: np.ndarray, n: int,
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel: same dataflow, z-slab blocked, VMEM-resident
+# Pallas kernel v2: carry-based overlap (no host stitch), double-buffered DMA
+# ---------------------------------------------------------------------------
+
+def _kernel_v2(rows_hbm, ke_ref, mask_ref, out_ref, scratch, carry, sem, *,
+               n: int, tc: int, W: int, n_blocks: int):
+    """Grid = n_blocks + 1 sequential steps.
+
+    Block k < n_blocks processes cell layers [k*tc, k*tc + tc) and emits
+    output z-half layers [k*tc, (k+1)*tc) — non-overlapping tiles, so no
+    host-side stitching.  The contribution that cell layer (k+1)*tc - 1
+    makes to z-half layer (k+1)*tc is accumulated into the ``carry``
+    scratch (persistent across the sequential grid) and added by block
+    k+1.  The final grid step only flushes the last carry.
+
+    Input slabs are double-buffered: block k starts the DMA for slab k+1
+    before computing on slab k (guide pattern: overlap DMA with compute).
+    """
+    k = pl.program_id(0)
+    # NOTE: int32 bitwise-and, not `% 2` — under jax_enable_x64 the mod
+    # promotes through int64 and the Mosaic convert-lowering recurses
+    parity = lambda j: jax.lax.bitwise_and(j, jnp.int32(1))  # noqa: E731
+
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(j * tc * 24, (tc + 1) * 24)],
+            scratch.at[slot], sem.at[slot])
+
+    @pl.when(k == 0)
+    def _():
+        get_dma(jnp.int32(0), jnp.int32(0)).start()
+
+    @pl.when(k + 1 < n_blocks)
+    def _():
+        get_dma(parity(k + 1), k + 1).start()
+
+    @pl.when(k < n_blocks)
+    def _compute():
+        get_dma(parity(k), k).wait()
+        sl = scratch.at[parity(k)]
+
+        Lc = n * (n + 1)
+        params = _slice_params(n)
+        groups = _shift_groups(params)
+        m = mask_ref[...]                               # (1, W)
+        Kp = ke_ref[...]        # columns pre-permuted group-contiguous
+
+        out_ref[...] = jnp.zeros_like(out_ref)
+        # add the previous block's carry into this block's first z-half
+        # layer, then reset the carry for this block's own tail
+        @pl.when(k > 0)
+        def _():
+            out_ref[0:24, :] += carry[...]
+        carry[...] = jnp.zeros_like(carry)
+
+        for zr in range(tc):                            # cell layer
+            ye = None
+            for (shift, col0, members) in groups:
+                ops_rows = [sl[(zr + dz) * 24 + rofs:
+                               (zr + dz) * 24 + rofs + 3,
+                               shift:shift + Lc]
+                            for (_, dz, rofs) in members[::3]]
+                U_s = jnp.concatenate(ops_rows, axis=0)
+                K_s = Kp[:, col0:col0 + len(members)]
+                part = jnp.dot(K_s, U_s,
+                               preferred_element_type=out_ref.dtype,
+                               precision=jax.lax.Precision.HIGHEST)
+                ye = part if ye is None else ye + part
+            ye = ye * m[:, :Lc]                         # phantom columns
+            valid = (k * tc + zr < n).astype(out_ref.dtype)
+            ye = ye * valid                             # phantom layers
+            for a, (dz, base, shift) in enumerate(params):
+                blk = ye[3 * a:3 * a + 3]
+                if zr + dz < tc:
+                    r = (zr + dz) * 24 + base
+                    out_ref[r:r + 3, shift:shift + Lc] += blk
+                else:                                   # zr=tc-1, dz=1
+                    carry[base:base + 3, shift:shift + Lc] += blk
+
+    @pl.when(k == n_blocks)
+    def _flush():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[0:24, :] = carry[...]
+
+
+def make_pallas_apply_rows(element_matrix: np.ndarray, n: int,
+                           dtype=jnp.float32, tc: int = 4,
+                           interpret: bool = False):
+    """Row-layout elasticity apply ``R -> Y`` (both ``((n+1)*24, W)``).
+
+    The production form: no layout conversions — callers keep DOF vectors
+    in the comp-major row layout (dots/axpys/masks are layout-agnostic,
+    see :func:`to_rows`).  Padding lanes/rows of the input must be zero;
+    the output preserves that invariant (phantom contributions masked)."""
+    W = _width(n)
+    Ke = jnp.asarray(_permute_columns(element_matrix, _slice_params(n)),
+                     dtype)
+    mask_row = cell_lane_mask(n, dtype)
+    mask = jnp.zeros((1, W), dtype).at[0, :mask_row.shape[0]].set(mask_row)
+    n_blocks = math.ceil(n / tc)
+    zh_pad = n_blocks * tc + 1                          # input z-half layers
+    kern = partial(_kernel_v2, n=n, tc=tc, W=W, n_blocks=n_blocks)
+
+    # index maps return int32 explicitly: under jax_enable_x64 plain Python
+    # ints trace to i64 constants, which Mosaic cannot legalize
+    zero2 = lambda k: (jnp.int32(0), jnp.int32(0))         # noqa: E731
+    outmap = lambda k: (k, jnp.int32(0))                   # noqa: E731
+
+    @jax.jit
+    def apply_rows(R):
+        R = jnp.pad(R, ((0, (zh_pad - (n + 1)) * 24), (0, 0)))
+        out = pl.pallas_call(
+            kern,
+            grid=(n_blocks + 1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((81, 81), zero2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, W), zero2, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tc * 24, W), outmap,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                ((n_blocks + 1) * tc * 24, W), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, (tc + 1) * 24, W), dtype),
+                pltpu.VMEM((24, W), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(R, Ke, mask)
+        return out[:(n + 1) * 24]
+
+    return apply_rows
+
+
+def default_tc(n: int, dtype=jnp.float32,
+               vmem_budget: int = 8 << 20) -> int:
+    """Slab depth: as deep as fits the VMEM budget, capped at 10 (measured
+    fastest at n=40 on v5e; deeper slabs gain nothing once DMA is hidden)."""
+    row_bytes = 24 * _width(n) * jnp.dtype(dtype).itemsize
+    # 2*(tc+1) double-buffered input + tc output + 1 carry row blocks
+    tc = (vmem_budget // row_bytes - 3) // 3
+    return max(2, min(10, int(tc)))
+
+
+@dataclasses.dataclass(frozen=True)
+class ElasticityRowOps:
+    """The comp-major row layout as a persistent DOF-vector format.
+
+    ``to_rows``/``from_rows`` are bijective (zero-padded) linear layout
+    maps, so dots, axpys, norms and elementwise masks computed in row
+    layout equal their flat-vector counterparts exactly — a whole CG solve
+    can run in row layout with conversions only at the solve boundary
+    (round-1 profiling: the conversions cost ~3.4 ms each at n=40 vs
+    ~0.6 ms for the kernel itself, so per-apply conversion is the wrong
+    place for them)."""
+    n: int
+    apply_rows: object           # unconstrained K: rows -> rows
+    to_rows: object              # flat (n_udofs,) -> rows ((n+1)*24, W)
+    from_rows: object
+    free_mask_rows: jnp.ndarray  # Dirichlet mask in rows (padding = 0)
+    diag_rows: jnp.ndarray       # Jacobi diagonal in rows (padding = 1)
+
+    def constrained_apply(self, x):
+        """Free-subspace restriction, same semantics as
+        ops.constrained_apply (identity on constrained dofs)."""
+        m = self.free_mask_rows
+        y = self.apply_rows(x * m)
+        return y * m + x * (1.0 - m)
+
+
+def make_row_ops(element_matrix: np.ndarray, n: int, free_mask_u,
+                 diag_elasticity, dtype=jnp.float32, tc: int = None,
+                 interpret: bool = False) -> ElasticityRowOps:
+    """Build the persistent-row-layout elasticity solve kit for a 3D
+    structured Q2 grid (``n`` cells per axis)."""
+    if tc is None:
+        tc = default_tc(n, dtype)
+    apply_rows = make_pallas_apply_rows(element_matrix, n, dtype, tc=tc,
+                                        interpret=interpret)
+    t = jax.jit(lambda x: to_rows(x, n))
+    f = jax.jit(lambda r: from_rows(r, n))
+    mask_rows = t(jnp.asarray(free_mask_u, dtype))
+    ones_rows = t(jnp.ones_like(jnp.asarray(diag_elasticity, dtype)))
+    diag_rows = t(jnp.asarray(diag_elasticity, dtype)) + (1.0 - ones_rows)
+    return ElasticityRowOps(n=n, apply_rows=apply_rows, to_rows=t,
+                            from_rows=f, free_mask_rows=mask_rows,
+                            diag_rows=diag_rows)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel v1: same dataflow, z-slab blocked, host-stitched overlap
 # ---------------------------------------------------------------------------
 
 def _kernel(rows_hbm, ke_ref, mask_ref, out_ref, scratch, sem, *,
@@ -260,7 +458,7 @@ def make_pallas_apply(element_matrix: np.ndarray, n: int,
             kern,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((81, 81), lambda k: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, W), lambda k: (0, 0),

@@ -178,7 +178,7 @@ def make_pallas_elasticity(element_matrix: np.ndarray, n: int,
             kern,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((81, 81), lambda k: (0, 0),
                              memory_space=pltpu.VMEM),
             ],

@@ -160,6 +160,9 @@ def shard_grid_discretization(disc, device_mesh: DeviceMesh):
         stencil_elasticity=wrap(disc.stencil_elasticity, gu, dim),
         stencil_coupling=wrap(disc.stencil_coupling, gp, 1),
         stencil_projection=wrap(disc.stencil_projection, gu, dim),
+        # the Pallas row-layout kernel is single-chip; the sharded solve
+        # must use the GSPMD-partitioned conv stencils
+        row_ops=None,
     )
 
 

@@ -221,6 +221,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         if data.mech_cg_relative:
             tol = tol * jnp.linalg.norm(b_mod)
         precond = getattr(d, "gmg_precond", None)  # multigrid when available
+        row_ops = getattr(d, "row_ops", None)
         if precond is not None and d.dtype == jnp.float32:
             # f32 + strong operator preconditioner: CG's p·Ap is dominated
             # by the operator apply's forward-error noise (docs/VALIDATION
@@ -229,6 +230,15 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             from .cg import richardson_solve
             res = richardson_solve(apply, b_mod, x0, precond, tol,
                                    data.cg_max_iterations)
+        elif precond is None and row_ops is not None:
+            # Pallas fast path: the WHOLE CG runs in the comp-major row
+            # layout (dots/axpys/masks are layout-exact — see
+            # ops/pallas_comp_major.ElasticityRowOps); layout conversions
+            # happen once per solve, not once per operator apply.
+            res = cg_solve(row_ops.constrained_apply, row_ops.to_rows(b_mod),
+                           row_ops.to_rows(x0), row_ops.diag_rows,
+                           tol=tol, max_iter=data.cg_max_iterations)
+            res = res._replace(x=row_ops.from_rows(res.x))
         else:
             res = cg_solve(apply, b_mod, x0, d.diag_elasticity,
                            tol=tol, max_iter=data.cg_max_iterations,

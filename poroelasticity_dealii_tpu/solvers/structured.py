@@ -87,6 +87,11 @@ class ConvGridDiscretization(GridDiscretization):
     stencil_elasticity: object = None
     stencil_coupling: object = None
     stencil_projection: object = None
+    # persistent-row-layout Pallas elasticity kit (3D Q2 isotropic grids on
+    # TPU; ops/pallas_comp_major.ElasticityRowOps) — when set, the mechanics
+    # CG runs in row layout through the fused kernel instead of the conv
+    # stencil (fss._mechanics_solve)
+    row_ops: object = None
 
     def mass(self, p):
         return self.stencil_mass(p)
@@ -175,7 +180,9 @@ def build_grid_discretization(data: InputData,
                               dtype=None,
                               lower=None, upper=None,
                               backend: str = "conv",
-                              multigrid: str = "auto") -> GridDiscretization:
+                              multigrid: str = "auto",
+                              elasticity_backend: Optional[str] = None
+                              ) -> GridDiscretization:
     from ..mesh.generator import normalize_cells_per_axis
     dim = data.dim
     if cells_per_axis is None:
@@ -289,6 +296,27 @@ def build_grid_discretization(data: InputData,
         **fields, stencil_mass=st_mass, stencil_laplace=st_lap,
         stencil_elasticity=st_el, stencil_coupling=st_cp,
         stencil_projection=st_proj)
+
+    # ---- Pallas row-layout elasticity (the production mechanics apply) ----
+    eb = elasticity_backend or getattr(data, "elasticity_backend", "auto")
+    if eb not in ("auto", "conv", "pallas"):
+        raise ValueError(f"unknown elasticity backend {eb!r}")
+    if eb != "conv":
+        import jax
+        eligible = (dim == 3 and displacement_degree == 2
+                    and len(set(cells_per_axis)) == 1)
+        on_tpu = jax.default_backend() == "tpu"
+        if eb == "pallas" and not eligible:
+            raise NotImplementedError(
+                "Pallas elasticity backend needs a 3D Q2 space with equal "
+                f"cells per axis; got dim={dim}, degree="
+                f"{displacement_degree}, cells={cells_per_axis}")
+        if eligible and (eb == "pallas" or on_tpu):
+            from ..ops.pallas_comp_major import make_row_ops
+            d.row_ops = make_row_ops(
+                np.asarray(Ke, np.float64), cells_per_axis[0],
+                d.free_mask_u, d.diag_elasticity, dtype=d.dtype,
+                interpret=not on_tpu)
 
     # ---- geometric multigrid for the elasticity solve --------------------
     # (isotropic cell counts only: the V-cycle hierarchy coarsens all axes

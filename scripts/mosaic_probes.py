@@ -24,7 +24,7 @@ def p1():
                              preferred_element_type=jnp.float32)
     x = jnp.ones((128, 256), jnp.float32); w = jnp.ones((256, 128), jnp.float32)
     out = pl.pallas_call(k, grid=(2,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((256, 128), lambda i: (0, 0))],
         out_specs=pl.BlockSpec((64, 128), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),

@@ -95,7 +95,7 @@ def main():
             kern,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((81, 81), lambda k: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, W), lambda k: (0, 0),

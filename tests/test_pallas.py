@@ -92,3 +92,63 @@ def test_comp_major_pallas_interpret_matches_conv(n, tc):
     y_conv = np.asarray(disc.elasticity(jnp.asarray(u, disc.dtype)))
     err = np.abs(y - y_conv).max() / np.abs(y_conv).max()
     assert err < 1e-5, err
+
+
+# v2 kernel: carry-based overlap, double-buffered DMA, rows->rows interface
+@pytest.mark.parametrize("n,tc", [(4, 2), (6, 4), (5, 2), (4, 4)])
+def test_comp_major_v2_rows_matches_conv(n, tc):
+    from poroelasticity_dealii_tpu.ops.pallas_comp_major import (
+        from_rows, make_pallas_apply_rows, to_rows)
+    Ke, disc = _cm_setup(n)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(disc.n_udofs), jnp.float32)
+    ar = make_pallas_apply_rows(Ke, n, jnp.float32, tc=tc, interpret=True)
+    R = to_rows(u, n)
+    Y = ar(R)
+    y = np.asarray(from_rows(Y, n))
+    y_conv = np.asarray(disc.elasticity(jnp.asarray(u, disc.dtype)))
+    err = np.abs(y - y_conv).max() / np.abs(y_conv).max()
+    assert err < 1e-5, err
+    # padding invariant: zero in -> zero out (required for persistent-row CG)
+    W = R.shape[1]
+    real = (n + 1) * (n + 1)
+    assert np.abs(np.asarray(Y[:, real:])).max() == 0.0
+
+
+def test_row_ops_solver_path_matches_conv():
+    """Full FSS step with the Pallas row-layout mechanics CG (interpret on
+    CPU) == the conv-stencil path."""
+    import dataclasses
+
+    from poroelasticity_dealii_tpu.solvers import FixedStressSolver
+    data = read_input_file(DECK)
+    data = dataclasses.replace(
+        data, dtype="float32", fss_tol=1e-4, pressure_tol=1e-4,
+        mech_cg_tol=1e-5, mech_cg_relative=True,
+        pressure_cg_tol=1e-5, projection_cg_tol=1e-5)
+    n = 4
+    disc_c = build_grid_discretization(data, cells_per_axis=n,
+                                       multigrid="off",
+                                       elasticity_backend="conv")
+    disc_p = build_grid_discretization(data, cells_per_axis=n,
+                                       multigrid="off",
+                                       elasticity_backend="pallas")
+    assert disc_p.row_ops is not None and disc_c.row_ops is None
+    sc = FixedStressSolver(disc_c, data)
+    sp = FixedStressSolver(disc_p, data)
+    # cold mechanics solve (zero warm start): the row-layout CG must
+    # actually iterate through the kernel and agree with the conv CG
+    p0 = jnp.full((disc_c.n_pdofs,), data.p_init, disc_c.dtype)
+    u0 = jnp.zeros((disc_c.n_udofs,), disc_c.dtype)
+    uc, it_c, _, _ = sc._mechanics_solve(p0, u0)
+    up, it_p, _, _ = sp._mechanics_solve(p0, u0)
+    assert int(it_p) > 0
+    np.testing.assert_allclose(np.asarray(up), np.asarray(uc),
+                               atol=2e-5 * np.abs(np.asarray(uc)).max())
+    st_c, _ = sc.time_step(sc.initial_state(), data.time_step)
+    st_p, stats_p = sp.time_step(sp.initial_state(), data.time_step)
+    scale = np.abs(np.asarray(st_c.u)).max()
+    np.testing.assert_allclose(np.asarray(st_p.u), np.asarray(st_c.u),
+                               atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(st_p.p), np.asarray(st_c.p),
+                               rtol=2e-5)
