@@ -222,7 +222,20 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             tol = tol * jnp.linalg.norm(b_mod)
         precond = getattr(d, "gmg_precond", None)  # multigrid when available
         row_ops = getattr(d, "row_ops", None)
-        if precond is not None and d.dtype == jnp.float32:
+        if row_ops is not None:
+            # Pallas fast path FIRST: the WHOLE CG runs in the comp-major
+            # row layout (dots/axpys/masks are layout-exact — see
+            # ops/pallas_comp_major.ElasticityRowOps); layout conversions
+            # happen once per solve, not once per operator apply.  Measured
+            # at 40^3 f32 on v5e: warm-started Jacobi row-CG ~0.6 ms/iter
+            # beats GMG-Richardson (~59 ms/V-cycle at 0.25 contraction) at
+            # the bench tolerances by ~5-8x — see docs/VALIDATION.md
+            # "elasticity GMG ablation".
+            res = cg_solve(row_ops.constrained_apply, row_ops.to_rows(b_mod),
+                           row_ops.to_rows(x0), row_ops.diag_rows,
+                           tol=tol, max_iter=data.cg_max_iterations)
+            res = res._replace(x=row_ops.from_rows(res.x))
+        elif precond is not None and d.dtype == jnp.float32:
             # f32 + strong operator preconditioner: CG's p·Ap is dominated
             # by the operator apply's forward-error noise (docs/VALIDATION
             # "known limitations"); preconditioned Richardson has no
@@ -230,15 +243,6 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             from .cg import richardson_solve
             res = richardson_solve(apply, b_mod, x0, precond, tol,
                                    data.cg_max_iterations)
-        elif precond is None and row_ops is not None:
-            # Pallas fast path: the WHOLE CG runs in the comp-major row
-            # layout (dots/axpys/masks are layout-exact — see
-            # ops/pallas_comp_major.ElasticityRowOps); layout conversions
-            # happen once per solve, not once per operator apply.
-            res = cg_solve(row_ops.constrained_apply, row_ops.to_rows(b_mod),
-                           row_ops.to_rows(x0), row_ops.diag_rows,
-                           tol=tol, max_iter=data.cg_max_iterations)
-            res = res._replace(x=row_ops.from_rows(res.x))
         else:
             res = cg_solve(apply, b_mod, x0, d.diag_elasticity,
                            tol=tol, max_iter=data.cg_max_iterations,

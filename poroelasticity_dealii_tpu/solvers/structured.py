@@ -321,6 +321,13 @@ def build_grid_discretization(data: InputData,
     # ---- geometric multigrid for the elasticity solve --------------------
     # (isotropic cell counts only: the V-cycle hierarchy coarsens all axes
     # together; anisotropic grids fall back to the Jacobi/Richardson path)
+    # With the Pallas row-layout CG available, 'auto' skips elasticity GMG:
+    # warm-started row-CG at ~0.6 ms/apply beats GMG-Richardson (~59 ms per
+    # 0.25-contraction V-cycle at 40^3 f32) at production tolerances, and
+    # the 40^3 V-cycle costs ~10 min of XLA compile (docs/VALIDATION.md
+    # ablation).  'on' still builds it.
+    if d.row_ops is not None and multigrid == "auto":
+        return d
     if len(set(cells_per_axis)) == 1:
         n_levels = _gmg_levels(cells_per_axis[0], dim, u_space.n_nodes * dim,
                                multigrid)

@@ -1,6 +1,19 @@
-"""Fixed-stress convergence-history regression: the golden 2D run's
-per-step iteration counts and residuals are pinned as a committed artifact
-(the BASELINE.md 'matching fixed-stress convergence history' metric)."""
+"""Fixed-stress convergence-history regression + non-circular
+cross-validation.
+
+The golden 2D run's per-step iteration counts and residuals are pinned as
+a committed artifact (the BASELINE.md 'matching fixed-stress convergence
+history' metric), and the pin is validated from BOTH sides:
+
+* the production jax solver reproduces it
+  (test_golden_fss_history_matches_recorded), and
+* an independent assembled-sparse scipy re-execution of the reference
+  algorithm (poroelasticity_dealii_tpu/validation.py — explicit
+  scipy.sparse matrices per PoroElasticPressureSolver.h:96-101 /
+  PoroElasticDisplacementSolver.h:237-242, scipy CG at the reference
+  tolerances, the FSS loop of PoroelasticityFSS.h:347-407) reproduces the
+  SAME history (test_reference_rerun_matches_recorded) — so the pin is a
+  two-implementation agreement, not a self-regression."""
 
 import dataclasses
 import json
@@ -35,3 +48,22 @@ def test_golden_fss_history_matches_recorded():
         hist = [float(x) for x in np.asarray(s.fss_error_history) if x >= 0]
         np.testing.assert_allclose(hist, rec["fss_error_history"], rtol=1e-6)
     assert abs(t - 1020.0) < 1e-9  # 17 steps, like the reference's loop
+
+
+def test_reference_rerun_matches_recorded():
+    """The independent scipy re-execution of the reference algorithm
+    reproduces the pinned history: per-step FSS iteration counts and
+    pressure-solve counts EXACTLY, residual norms to ~1e-9 relative."""
+    from poroelasticity_dealii_tpu.validation import run_reference_algorithm
+    with open(HISTORY) as fh:
+        recorded = json.load(fh)
+    data = read_input_file(GOLDEN)
+    hist = run_reference_algorithm(data)
+    assert len(hist) == len(recorded) == 17
+    for h, r in zip(hist, recorded):
+        assert h["fss_iterations"] == r["fss_iterations"], h["time"]
+        assert h["pressure_iterations"] == r["pressure_iterations"], h["time"]
+        np.testing.assert_allclose(h["pressure_error"], r["pressure_error"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(h["fss_error_history"],
+                                   r["fss_error_history"], rtol=1e-6)
