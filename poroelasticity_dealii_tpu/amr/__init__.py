@@ -1,4 +1,4 @@
-"""Adaptive mesh refinement (2D quadtree).
+"""Adaptive mesh refinement (2D quadtree / 3D octree).
 
 TPU-native re-design of the reference's AMR pipeline
 (``PoroelasticityFSS.h:448-498``): Kelly error estimation on the pressure
@@ -14,5 +14,6 @@ for capability parity with the reference and runs at CPU-problem scales.
 """
 
 from .forest import QuadForest  # noqa: F401
-from .kelly import kelly_estimate  # noqa: F401
+from .kelly import kelly_estimate, kelly_estimate_3d  # noqa: F401
+from .octforest import OctForest  # noqa: F401
 from .transfer import transfer_nodal  # noqa: F401

@@ -12,12 +12,15 @@ as precomputed index/weight tables applied matrix-free:
 * ``constrained(apply)``: C^T A C + identity-on-hanging wrapper keeping the
   operator SPD on the master subspace.
 
-2D only (the reference's AMR runs are 2D; 3D face constraints are future
-work)."""
+Two builders: :func:`build_hanging_constraints` (explicit 2D edge tables)
+and :func:`build_hanging_constraints_geometric` (dim/degree-generic
+Lagrange-trace rule — 3D face AND edge constraints; used by the 3D AMR
+path and verified equal to the 2D tables in tests/test_amr3d.py)."""
 
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Dict, Tuple
 
 import numpy as np
@@ -25,6 +28,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..mesh.core import FESpace
+from ..ops.shape import node_lattice, shape_tables
 from .forest import QuadForest
 
 # 1D quadratic Lagrange values at 1/4 and 3/4 of the coarse edge
@@ -98,6 +102,137 @@ def _edge_midnode_map(space: FESpace) -> Dict[Tuple[int, int], int]:
     return out
 
 
+def build_hanging_constraints_geometric(forest, mesh, p_space: FESpace,
+                                        u_space: FESpace, dtype):
+    """Dim/degree-generic hanging-node constraints on a 1-irregular forest.
+
+    Algebraic formulation of deal.II's ``make_hanging_node_constraints``: a
+    space node is *hanging* iff some leaf cell whose closure contains it
+    does NOT have it in its Q_k lattice; its constraint row is the coarse
+    cell's Lagrange trace evaluated at the node,
+
+        value(nu) = sum_a  phi_a^K(nu) * value(a),
+
+    which automatically restricts to K's nodes on the shared face/edge
+    (tensor-product Lagrange bases vanish at foreign lattice planes) — so
+    3D face AND edge constraints, for Q1 and Q2 alike, come out of one
+    rule.  Verified equal to the explicit 2D edge-table builder
+    (tests/test_amr3d.py) and by 3D patch tests.
+    """
+    dim = mesh.dim
+    R = 2 ** forest.max_level
+    sz = forest.upper - forest.lower
+    leaves = set(forest.leaves)
+    levels = sorted({leaf[0] for leaf in leaves})
+    # mesh cells are in forest.sorted_leaves() order (to_mesh contract)
+    cell_of_leaf = {leaf: i for i, leaf in enumerate(forest.sorted_leaves())}
+
+    def rows_for_space(space: FESpace):
+        k = space.degree
+        denom = R * k
+        q = np.round((space.node_coords - forest.lower) / sz * denom)
+        q = q.astype(np.int64)                            # (N, dim)
+        # membership is by ENTITY (cell_nodes), not position: a hanging
+        # vertex and a coarse edge/face midnode can share coordinates but
+        # are distinct dofs (deal.II semantics)
+        cell_node_sets = [set(row) for row in
+                          space.cell_nodes.astype(np.int64)]
+
+        rows = []
+        for node in range(q.shape[0]):
+            qn = q[node]
+            containing = []      # (leaf, s, member)
+            for l in levels:
+                s = R // (2 ** l)
+                ks = k * s
+                cand_ranges = []
+                for a in range(dim):
+                    i0 = qn[a] // ks
+                    cands = {int(i0)}
+                    if qn[a] % ks == 0:
+                        cands.add(int(i0) - 1)
+                    cand_ranges.append(
+                        [i for i in cands if 0 <= i < 2 ** l])
+                for idx in itertools.product(*cand_ranges):
+                    leaf = (l,) + tuple(idx)
+                    if leaf in leaves:
+                        member = node in cell_node_sets[cell_of_leaf[leaf]]
+                        containing.append((leaf, s, member))
+            owner_lvl = min(c[0][0] for c in containing if c[2])
+            # deal.II rule: constrain the REFINED side only — master = the
+            # coarsest containing cell lacking the node, and it must be
+            # coarser than every owner (else this node IS the coarse side,
+            # e.g. the coarse edge midnode under a hanging vertex)
+            foreign = [c for c in containing
+                       if not c[2] and c[0][0] < owner_lvl]
+            if not foreign:
+                continue
+            K, s, _ = max(foreign, key=lambda c: c[1])
+            ks = k * s
+            lo = np.array(K[1:]) * ks
+            ref = (qn - lo) / ks * 2.0 - 1.0              # [-1, 1]^dim
+            phi, _ = shape_tables(k, dim, ref[None, :])   # (1, NL)
+            conn_K = space.cell_nodes[cell_of_leaf[K]]
+            ms = []
+            for a in range(conn_K.shape[0]):
+                w = float(phi[0, a])
+                if abs(w) < 1e-12:
+                    continue
+                ms.append((int(conn_K[a]), w))
+            rows.append((node, ms))
+        return rows
+
+    p_rows = rows_for_space(p_space)
+    u_rows = rows_for_space(u_space)
+    return (_pack_rows(p_rows, 1, dtype), _pack_rows(u_rows, dim, dtype))
+
+
+def _resolve_chains(rows):
+    """Substitute masters that are themselves hanging (deal.II's
+    ConstraintMatrix::close): possible at refinement-pattern corners."""
+    table = {node: ms for node, ms in rows}
+    out = []
+    for node, ms in rows:
+        for _ in range(8):  # chains are short; bound defensively
+            if not any(mn in table for mn, _ in ms):
+                break
+            new = {}
+            for mn, w in ms:
+                if mn in table:
+                    for mn2, w2 in table[mn]:
+                        new[mn2] = new.get(mn2, 0.0) + w * w2
+                else:
+                    new[mn] = new.get(mn, 0.0) + w
+            ms = list(new.items())
+        out.append((node, ms))
+    return out
+
+
+def _pack_rows(rows, n_comp, dtype):
+    """(node, [(master_node, w), ...]) rows -> dof-level tables."""
+    rows = _resolve_chains(rows)
+    rows = [(n, [(m, w) for m, w in ms if abs(w) > 1e-14]) for n, ms in rows]
+    if not rows:
+        return empty_constraints(dtype)
+    W = max(len(ms) for _, ms in rows)
+    H = len(rows) * n_comp
+    hang = np.zeros(H, np.int32)
+    mast = np.zeros((H, W), np.int64)
+    wts = np.zeros((H, W))
+    r = 0
+    for node, ms in rows:
+        for c in range(n_comp):
+            hang[r] = node * n_comp + c
+            mast[r, :] = node * n_comp + c        # pad with self, w=0
+            for j, (mn, w) in enumerate(ms):
+                mast[r, j] = mn * n_comp + c
+                wts[r, j] = w
+            r += 1
+    return HangingConstraints(hanging=jnp.asarray(hang),
+                              masters=jnp.asarray(mast.astype(np.int32)),
+                              weights=jnp.asarray(wts, dtype=dtype))
+
+
 def build_hanging_constraints(forest: QuadForest, mesh, p_space: FESpace,
                               u_space: FESpace, dtype):
     """Returns ``(pressure HangingConstraints, displacement (dof-level)
@@ -151,46 +286,4 @@ def build_hanging_constraints(forest: QuadForest, mesh, p_space: FESpace,
         else:
             u_rows.append((h, [(v0, 0.5), (v1, 0.5)]))
 
-    def resolve_chains(rows):
-        """Substitute masters that are themselves hanging (deal.II's
-        ConstraintMatrix::close): possible at refinement-pattern corners."""
-        table = {node: ms for node, ms in rows}
-        out = []
-        for node, ms in rows:
-            for _ in range(8):  # chains are short; bound defensively
-                if not any(mn in table for mn, _ in ms):
-                    break
-                new = {}
-                for mn, w in ms:
-                    if mn in table:
-                        for mn2, w2 in table[mn]:
-                            new[mn2] = new.get(mn2, 0.0) + w * w2
-                    else:
-                        new[mn] = new.get(mn, 0.0) + w
-                ms = list(new.items())
-            out.append((node, ms))
-        return out
-
-    def pack(rows, n_comp):
-        rows = resolve_chains(rows)
-        if not rows:
-            return empty_constraints(dtype)
-        W = max(len(ms) for _, ms in rows)
-        H = len(rows) * n_comp
-        hang = np.zeros(H, np.int32)
-        mast = np.zeros((H, W), np.int64)
-        wts = np.zeros((H, W))
-        r = 0
-        for node, ms in rows:
-            for c in range(n_comp):
-                hang[r] = node * n_comp + c
-                mast[r, :] = node * n_comp + c        # pad with self, w=0
-                for j, (mn, w) in enumerate(ms):
-                    mast[r, j] = mn * n_comp + c
-                    wts[r, j] = w
-                r += 1
-        return HangingConstraints(hanging=jnp.asarray(hang),
-                                  masters=jnp.asarray(mast.astype(np.int32)),
-                                  weights=jnp.asarray(wts, dtype=dtype))
-
-    return pack(p_rows, 1), pack(u_rows, dim)
+    return _pack_rows(p_rows, 1, dtype), _pack_rows(u_rows, dim, dtype)

@@ -20,18 +20,25 @@ from ..config import InputData
 from ..solvers import FixedStressSolver, build_discretization
 from ..solvers.fss import State
 from ..ops.operators import VOIGT_PAIRS
-from .constraints import build_hanging_constraints
+from .constraints import (build_hanging_constraints,
+                          build_hanging_constraints_geometric)
 from .forest import QuadForest
-from .kelly import fixed_fraction_marks, kelly_estimate
+from .kelly import fixed_fraction_marks, kelly_estimate, kelly_estimate_3d
+from .octforest import OctForest
 from .transfer import transfer_nodal
 
 
-def build_amr_discretization(forest: QuadForest, data: InputData):
+def build_amr_discretization(forest, data: InputData):
     """Generic-path discretization of the forest's mesh, with hanging-node
-    constraints installed and preconditioner diagonals fixed up."""
+    constraints installed and preconditioner diagonals fixed up.
+
+    2D uses the explicit edge tables; 3D uses the geometric Lagrange-trace
+    builder (face + edge constraints, ``constraints.py``)."""
     mesh = forest.to_mesh()
     disc = build_discretization(mesh, data)
-    hc_p, hc_u = build_hanging_constraints(
+    builder = (build_hanging_constraints if mesh.dim == 2
+               else build_hanging_constraints_geometric)
+    hc_p, hc_u = builder(
         forest, mesh, disc.pressure_space, disc.displacement_space,
         disc.dtype)
     disc.hc_p, disc.hc_u = hc_p, hc_u
@@ -45,19 +52,21 @@ def build_amr_discretization(forest: QuadForest, data: InputData):
 
 
 class AMRSimulationRunner:
-    """Host-side adaptive time loop (2D).
+    """Host-side adaptive time loop (2D quadtree / 3D octree).
 
     The reference refines every 5th step between the initial level and
     initial + max levels with fixed error fractions 0.6 / 0.4
-    (``PoroelasticityFSS.h:333-340, 460-462``).
+    (``PoroelasticityFSS.h:333-340, 460-462``; its ``refine_mesh`` is
+    dim-templated, so 3D is in-scope parity).
     """
 
     def __init__(self, data: InputData, logger=None):
-        if data.dim != 2:
-            raise NotImplementedError("AMR is 2D (like the reference's runs)")
+        if data.dim not in (2, 3):
+            raise NotImplementedError("AMR needs dim 2 or 3")
         self.data = data
-        size = np.asarray(data.domain_size[:2], float)
-        self.forest = QuadForest.uniform(-size / 2, size / 2,
+        size = np.asarray(data.domain_size[:data.dim], float)
+        forest_cls = QuadForest if data.dim == 2 else OctForest
+        self.forest = forest_cls.uniform(-size / 2, size / 2,
                                          data.initial_refinement_level)
         self.logger = logger
         self._rebuild()
@@ -69,9 +78,10 @@ class AMRSimulationRunner:
     def _remesh(self, state: State) -> State:
         data = self.data
         mesh_old = self.disc.pressure_space.mesh
-        forest_old = QuadForest(self.forest.lower, self.forest.upper,
-                                set(self.forest.leaves))
-        eta = kelly_estimate(self.forest, mesh_old, np.asarray(state.p))
+        forest_old = type(self.forest)(self.forest.lower, self.forest.upper,
+                                       set(self.forest.leaves))
+        estimator = kelly_estimate if data.dim == 2 else kelly_estimate_3d
+        eta = estimator(self.forest, mesh_old, np.asarray(state.p))
         refine, coarsen = fixed_fraction_marks(
             self.forest, eta, 0.6, 0.4,
             min_level=data.initial_refinement_level,
@@ -85,7 +95,7 @@ class AMRSimulationRunner:
                            np.asarray(state.eps_v0)])
         moved = transfer_nodal(forest_old, mesh_old, fields, new_pts)
         dt = self.disc.dtype
-        n_voigt = len(VOIGT_PAIRS[2])
+        n_voigt = len(VOIGT_PAIRS[data.dim])
         return State(
             p=jnp.asarray(moved[0], dt),
             u=jnp.zeros((self.disc.n_udofs,), dt),

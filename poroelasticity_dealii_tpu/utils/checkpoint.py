@@ -56,11 +56,16 @@ def load_checkpoint(path: str, dtype=None) -> Tuple[State, float, int]:
 
 
 def load_checkpoint_forest(path: str):
-    """Restore the persisted QuadForest of an adaptive run, or None."""
+    """Restore the persisted forest of an adaptive run (QuadForest for 2D,
+    OctForest for 3D — distinguished by the leaf-tuple width), or None."""
     with np.load(path) as z:
         if "forest_leaves" not in z:
             return None
-        from ..amr.forest import QuadForest
-        leaves = {tuple(int(v) for v in row) for row in z["forest_leaves"]}
-        return QuadForest(lower=z["forest_lower"], upper=z["forest_upper"],
-                          leaves=leaves)
+        rows = z["forest_leaves"]
+        if rows.shape[1] == 4:
+            from ..amr.octforest import OctForest as cls
+        else:
+            from ..amr.forest import QuadForest as cls
+        leaves = {tuple(int(v) for v in row) for row in rows}
+        return cls(lower=z["forest_lower"], upper=z["forest_upper"],
+                   leaves=leaves)
