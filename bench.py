@@ -62,11 +62,12 @@ def build(platform=None, cells=CELLS_PER_AXIS, elasticity_backend=None):
         mech_cg_tol=1e-5, mech_cg_relative=True,
         pressure_cg_tol=1e-5, projection_cg_tol=1e-5)
     t0 = time.perf_counter()
-    # multigrid off: warm-started CG needs only a handful of iterations at
-    # these relative tolerances, and the GMG coarse-level conv graphs
-    # currently fault the TPU Mosaic runtime at this size (known issue;
-    # GMG is exercised in the f64/CPU test suite where it cuts cold-solve
-    # iterations 264 -> 8)
+    # multigrid off — measured ablation, not a workaround: the 40^3 f32
+    # elasticity V-cycle runs fault-free on TPU (round 2; 59 ms/cycle,
+    # contraction 0.25) but loses to warm-started row-layout Jacobi-CG
+    # (~0.6 ms/apply) at production tolerances, and costs ~10 min of XLA
+    # compile.  GMG still carries the pressure solve and the f64/CPU
+    # cold-solve suite (264 -> 8 iterations); see structured.py:322-328.
     disc = build_grid_discretization(data, cells_per_axis=cells,
                                      multigrid="off",
                                      elasticity_backend=elasticity_backend)

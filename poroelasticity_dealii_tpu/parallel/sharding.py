@@ -14,7 +14,9 @@ TPU-native analogue of MPI-parallel FEM with ghosted vectors is
   over ICI — the collective form of halo exchange + ghost-row accumulation.
 
 CG dot products act on replicated vectors, so no extra collectives appear in
-the solver loops: exactly one all-reduce per operator apply.
+the solver loops: exactly one all-reduce per operator apply.  That all-reduce
+is O(n_dofs) — fine at ~1M DOF on one pod slice; for interface-scaled
+collective volume use :mod:`.ghost` (sharded DOF vectors + halo ppermutes).
 
 Because :class:`ShardedDiscretization` exposes the same operator-closure API
 as :class:`~..solvers.discretization.Discretization`, the entire
