@@ -56,10 +56,12 @@ def build_fe_space(mesh: Mesh, degree: int) -> FESpace:
         ci = corner_index(on_hi[a])
         cell_nodes[:, a] = cells[:, ci]
 
-    # --- edge nodes ---------------------------------------------------------
+    # --- edge nodes (dim >= 2: in 1D an axis-interior node is CELL-interior
+    # — counting it here too once orphaned a duplicate node set and made the
+    # 1D operator singular) -------------------------------------------------
     edge_base = None
     edge_uid_of = {}
-    if k >= 2:
+    if k >= 2 and dim >= 2:
         edge_locals = np.nonzero(n_interior_axes == 1)[0]
         if len(edge_locals):
             # collect (endpoint0, endpoint1) global ids per (cell, edge node)

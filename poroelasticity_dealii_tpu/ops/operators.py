@@ -107,7 +107,7 @@ def elasticity_core(ue, dref, jinv, jxw, lam, mu):
     E = ue.shape[-1]
     r = jnp.einsum("qnm,niE->qmiE", dref, ue)        # MXU: (Q*m, N)@(N, i*E)
     h = _apply_jinv(r, jinv)                         # grad u (Q, i, j, E)
-    tr = h[:, 0, 0] + h[:, 1, 1] + (h[:, 2, 2] if dim == 3 else 0.0)
+    tr = sum(h[:, i, i] for i in range(dim))
     sig = mu * (h + jnp.swapaxes(h, 1, 2))
     eye = jnp.eye(dim, dtype=ue.dtype)[None, :, :, None]
     sig = sig + (lam * tr)[:, None, None, :] * eye

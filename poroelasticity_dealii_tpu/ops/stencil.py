@@ -29,6 +29,7 @@ from jax import lax
 from ..ops.shape import node_lattice
 
 _DIMNUMS = {
+    1: ("NCH", "OIH", "NCH"),
     2: ("NCHW", "OIHW", "NCHW"),
     3: ("NCDHW", "OIDHW", "NCDHW"),
 }

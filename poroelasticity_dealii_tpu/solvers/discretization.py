@@ -155,7 +155,30 @@ def _neumann_vector(mesh: Mesh, u_space: FESpace, data: InputData) -> np.ndarray
     if not data.stress_boundary_labels:
         return f
     if dim == 1:
-        raise NotImplementedError("Neumann faces in 1D")
+        # a 1D "face" is an endpoint: the surface integral degenerates to a
+        # point evaluation, ds = 1, outward normal n = -1 (left) / +1
+        # (right); contribution = value * n * phi_n(endpoint)
+        for local_face in (0, 1):
+            sel = mesh.face_local == local_face
+            if not sel.any():
+                continue
+            cells_f = mesh.face_cells[sel]
+            ids_f = mesh.face_ids[sel]
+            ref = np.array([[-1.0 if local_face == 0 else 1.0]])
+            phi_u, _ = shape_tables(ku, 1, ref)            # (1, N)
+            normal = -1.0 if local_face == 0 else 1.0
+            cell_nodes_f = u_space.cell_nodes[cells_f]     # (F, N)
+            for lbl, comp, val in zip(data.stress_boundary_labels,
+                                      data.stress_boundary_components,
+                                      data.stress_boundary_values):
+                m = ids_f == lbl
+                if not m.any() or comp != 0:
+                    continue
+                contrib = val * normal * np.broadcast_to(
+                    phi_u[0], cell_nodes_f[m].shape)
+                np.add.at(f, cell_nodes_f[m].reshape(-1),
+                          contrib.reshape(-1))
+        return f
     pts_f, wts_f = gauss_tensor(ku + 1, dim - 1)
     corner_xyz = mesh.vertices[mesh.cells]
 

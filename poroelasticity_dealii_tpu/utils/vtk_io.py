@@ -23,11 +23,12 @@ import numpy as np
 from ..mesh.core import FESpace
 from ..ops.operators import VOIGT_PAIRS
 
-_VTK_CELL_TYPE = {2: 9, 3: 12}       # VTK_QUAD, VTK_HEXAHEDRON
+_VTK_CELL_TYPE = {1: 3, 2: 9, 3: 12}  # VTK_LINE, VTK_QUAD, VTK_HEXAHEDRON
 # lexicographic corners -> VTK node order
-_LEX_TO_VTK = {2: [0, 1, 3, 2], 3: [0, 1, 3, 2, 4, 5, 7, 6]}
+_LEX_TO_VTK = {1: [0, 1], 2: [0, 1, 3, 2], 3: [0, 1, 3, 2, 4, 5, 7, 6]}
 
 _COMP_NAMES = {
+    1: ["xx"],
     2: ["xx", "xy", "yy"],
     3: ["xx", "xy", "xz", "yy", "yz", "zz"],
 }

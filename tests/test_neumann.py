@@ -82,3 +82,31 @@ def test_traction_on_gmsh_mesh():
     top = np.isclose(ucoords[:, 1], 5.0)
     expect = -T * 10.0 / (data.lame_constant + 2 * data.shear_modulus)
     np.testing.assert_allclose(u[top, 1], expect, rtol=1e-5)
+
+
+def test_traction_1d_bar():
+    """1D bar, fixed at x=0 (label 0), end load at x=L (label 1): the face
+    integral degenerates to a point evaluation with n = +1, and
+    u(x) = T x / (lambda + 2 mu) exactly (closes the round-1
+    `NotImplementedError("Neumann faces in 1D")` scope guard)."""
+    data = read_input_file(GOLDEN)
+    data = dataclasses.replace(
+        data, dim=1, domain_size=(10.0,), p_init=0.0, flow_rate=0.0,
+        displacement_boundary_labels=(0,),
+        displacement_boundary_components=(0,),
+        displacement_boundary_values=(0.0,),
+        stress_boundary_labels=(1,),
+        stress_boundary_components=(0,),
+        stress_boundary_values=(T,))
+    mesh = hyper_rectangle(data.domain_size, 3)
+    disc = build_discretization(mesh, data)
+    f = np.asarray(disc.f_neumann)
+    assert np.isclose(f.sum(), T)          # resultant = value * n = +T
+    solver = FixedStressSolver(disc, data)
+    st = solver.initial_state()
+    u = np.asarray(st.u)
+    x = disc.displacement_space.node_coords[:, 0]
+    # hyper_rectangle domains are centered: shift to the fixed end
+    expect = T * (x - x.min()) / (data.lame_constant
+                                  + 2 * data.shear_modulus)
+    np.testing.assert_allclose(u, expect, rtol=1e-8, atol=1e-18)
