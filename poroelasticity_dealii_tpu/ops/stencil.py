@@ -118,6 +118,8 @@ def make_stencil_apply(element_matrix: np.ndarray, k_in: int, k_out: int,
     (smoothers), which only need to be a fixed linear operator.
     """
     ns = (n_cells,) * dim if np.ndim(n_cells) == 0 else tuple(n_cells)
+    if k_in == k_out == 1 and n_comp_in == n_comp_out == 1:
+        return _make_q1_slices_apply(element_matrix, dim, ns, dtype)
     gs_in = tuple(k_in * n + 1 for n in ns)
     wg = jnp.asarray(_to_kernel(element_matrix, n_comp_in, k_in, dim),
                      dtype=dtype)
@@ -131,5 +133,46 @@ def make_stencil_apply(element_matrix: np.ndarray, k_in: int, k_out: int,
                            precision=precision)
         return conv_scatter(ye, ws, k_out, dim, n_comp_out, ns,
                             precision=precision)
+
+    return apply
+
+
+def _make_q1_slices_apply(element_matrix: np.ndarray, dim: int, ns, dtype):
+    """Scalar Q1 -> Q1 operator as shifted-slice multiply-adds.
+
+    The tiny-channel convs of the generic path run at a few percent of
+    attainable on TPU (measured 5 ms at 41^3 vs ~25 us of data movement);
+    for the Q1 case the cell loop collapses to 2^dim full-grid shifted
+    slices, 4^dim scalar fused multiply-adds, and 2^dim shifted
+    accumulations — plain VPU streaming, measured 7.4x faster at 41^3 on
+    v5e.  Semantics identical to the two-conv form (cells enumerate slices,
+    so boundary weights are exact); carries the pressure mass/Laplace/
+    fused-Jacobian applies and the pressure GMG level operators."""
+    K = np.asarray(element_matrix, np.float64)
+    # local lex order (x fastest) -> per-axis offsets in (x, y[, z])
+    offsets = [tuple((a >> d) & 1 for d in range(dim)) for a in range(2**dim)]
+    Kj = jnp.asarray(K, dtype)
+    rev = tuple(reversed(ns))                       # grid is (z, y, x)
+
+    def cell_slice(off):
+        # numpy axis order is reversed (z, y, x); offset tuple is (x, y, z)
+        return tuple(slice(off[dim - 1 - a], off[dim - 1 - a] + rev[a])
+                     for a in range(dim))
+
+    def pad_width(off):
+        # scatter via pad + add: XLA fuses the 2^dim pads into ONE output
+        # loop, vs ~70 us per dynamic-update-slice for .at[].add windows
+        return tuple((off[dim - 1 - a], 1 - off[dim - 1 - a])
+                     for a in range(dim))
+
+    def apply(x):
+        X = x.reshape(tuple(r + 1 for r in rev))
+        U = [X[cell_slice(off)] for off in offsets]
+        Y = None
+        for ao, off in enumerate(offsets):
+            V = sum(Kj[ao, ai] * U[ai] for ai in range(2**dim))
+            P = jnp.pad(V, pad_width(off))
+            Y = P if Y is None else Y + P
+        return Y.reshape(-1)
 
     return apply

@@ -245,3 +245,33 @@ def test_custom_bounds_conv_path_matches_generic():
         np.asarray(ds.mass(jnp.asarray(f))),
         np.asarray(dg.mass(jnp.asarray(tmp)))[perm_p],
         rtol=1e-11, atol=1e-13)
+
+
+@pytest.mark.parametrize("dim", [1, 2, 3])
+def test_q1_slices_fast_path_matches_conv_pair(dim):
+    """make_stencil_apply's scalar-Q1 shifted-slices fast path (the
+    production pressure apply; 7.4x the conv pair on v5e) is exactly the
+    two-conv cellwise operator, on anisotropic grids, in f64."""
+    from poroelasticity_dealii_tpu.mesh.generator import hyper_rectangle as hr
+    from poroelasticity_dealii_tpu.mesh.qk import build_fe_space
+    from poroelasticity_dealii_tpu.ops import dense
+    from poroelasticity_dealii_tpu.ops.stencil import (
+        _make_q1_slices_apply, _scatter_kernel, _to_kernel, conv_cellwise,
+        conv_scatter)
+
+    ns = (5, 3, 4)[:dim]
+    h = [1.3 / n for n in ns]
+    cm = hr(h, cells_per_axis=1)
+    sp1 = build_fe_space(cm, 1)
+    Le = np.asarray(dense.laplace_element_matrices(sp1)[0])
+    gs = tuple(n + 1 for n in ns)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(int(np.prod(gs))))
+
+    fast = _make_q1_slices_apply(Le, dim, ns, jnp.float64)
+    wg = jnp.asarray(_to_kernel(Le, 1, 1, dim), jnp.float64)
+    ws = jnp.asarray(_scatter_kernel(1, 2 ** dim, 1, 1, dim), jnp.float64)
+    ref = conv_scatter(conv_cellwise(x, wg, 1, dim, 1, gs), ws, 1, dim, 1,
+                       ns)
+    np.testing.assert_allclose(np.asarray(fast(x)), np.asarray(ref),
+                               rtol=1e-13, atol=1e-14)
