@@ -149,3 +149,59 @@ def test_f32_mech_gmg_uses_richardson_end_to_end():
     assert bool(t_on.cg_converged)
     np.testing.assert_allclose(np.asarray(a_on.p), np.asarray(a_off.p),
                                rtol=1e-4)
+
+
+def test_q1_direct_transfers_match_conv_pipeline():
+    """The direct nodal-interpolation Q1 transfers equal the conv
+    gather/einsum/scatter + multiplicity-normalization pipeline exactly
+    (they are the same FE-embedding matrix P and its transpose)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from poroelasticity_dealii_tpu.ops.shape import node_lattice
+    from poroelasticity_dealii_tpu.ops.stencil import (_scatter_kernel,
+                                                       _to_kernel,
+                                                       conv_cellwise,
+                                                       conv_scatter)
+    from poroelasticity_dealii_tpu.solvers.multigrid import (
+        _interleave_parities, _deinterleave_parities,
+        _parity_embedding_matrices, _q1_direct_transfers)
+
+    for dim, nc in ((1, 5), (2, 4), (3, 3)):
+        E = jnp.asarray(_parity_embedding_matrices(dim, 1, 1), jnp.float64)
+        ik = jnp.asarray(_to_kernel(np.eye(2 ** dim), 1, 1, dim),
+                         jnp.float64)
+        sk = jnp.asarray(_scatter_kernel(1, 2 ** dim, 1, 1, dim),
+                         jnp.float64)
+        nf = 2 * nc
+        g_c, g_f = nc + 1, nf + 1
+
+        def conv_p(xc):
+            uc = conv_cellwise(xc, ik, 1, dim, 1, g_c)
+            ye = jnp.einsum("sab,bE->saE", E, uc)
+            ye_f = _interleave_parities(ye, dim, nc)
+            return conv_scatter(ye_f.reshape(ye.shape[1], -1), sk, 1, dim,
+                                1, nf)
+
+        def conv_r(yf):
+            ye_f = conv_cellwise(yf, ik, 1, dim, 1, g_f)
+            ye = _deinterleave_parities(ye_f, dim, nc)
+            zc = jnp.einsum("sab,saE->bE", E, ye)
+            return conv_scatter(zc, sk, 1, dim, 1, nc)
+
+        rng = np.random.default_rng(3)
+        xc = jnp.asarray(rng.standard_normal(g_c ** dim))
+        yf = jnp.asarray(rng.standard_normal(g_f ** dim))
+        mult = conv_p(jnp.ones(g_c ** dim))
+        raw_p, raw_r = _q1_direct_transfers(dim, nc, jnp.float64)
+        np.testing.assert_allclose(np.asarray(raw_p(xc)),
+                                   np.asarray(conv_p(xc) / mult),
+                                   rtol=1e-13, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(raw_r(yf)),
+                                   np.asarray(conv_r(yf / mult)),
+                                   rtol=1e-13, atol=1e-14)
+        # exact adjoint: <P xc, yf> == <xc, R yf>
+        a = float(jnp.vdot(raw_p(xc), yf))
+        b = float(jnp.vdot(xc, raw_r(yf)))
+        assert a == pytest.approx(b, rel=1e-13)
