@@ -92,7 +92,8 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag=""):
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
-    state, stats = solver.time_step(state, data.time_step, 1.0 + bc_rate)
+    state, stats = solver.time_step(state, data.time_step, 1.0 + bc_rate,
+                                    bc_scale_prev=1.0)
     state.p.block_until_ready()
     print(f"# {tag}first step (incl. compile): "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
@@ -102,7 +103,8 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag=""):
     for i in range(n_steps):
         bc_scale = 1.0 + bc_rate * (i + 2)
         t0 = time.perf_counter()
-        state, stats = solver.time_step(state, data.time_step, bc_scale)
+        state, stats = solver.time_step(state, data.time_step, bc_scale,
+                                        bc_scale_prev=1.0 + bc_rate * (i + 1))
         state.p.block_until_ready()
         times.append(time.perf_counter() - t0)
         mech_cg.append(int(stats.mech_cg_iterations))

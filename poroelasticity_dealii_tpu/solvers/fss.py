@@ -298,10 +298,13 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
     # ---------------- one full time step (jitted) ---------------------------
 
-    def time_step(self, state: State, dt, bc_scale=1.0):
+    def time_step(self, state: State, dt, bc_scale=1.0,
+                  bc_scale_prev=None):
         """One Δt: FSS outer loop over (pressure inner loop, mechanics solve,
         normal-strain projection), then shear strains — all on-chip.
-        ``bc_scale`` scales Dirichlet displacement values (traced).
+        ``bc_scale`` scales Dirichlet displacement values (traced);
+        passing the previous step's ``bc_scale_prev`` enables the
+        linear-superposition warm start (:meth:`_bc_response`).
         ``dt`` is static (one compile per distinct time step), which lets
         the pressure Jacobian fold into a single conv stencil.
 
@@ -311,7 +314,41 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         if isinstance(dt, (int, float)):
             self._fused_jacobian_stencil(dt)
             self._pressure_precond(dt)
+        if bc_scale_prev is not None and bc_scale_prev != bc_scale:
+            # mechanics is linear, so du/d(bc_scale) is a fixed field:
+            # superpose it onto the warm start and the mechanics CG only
+            # works on the pressure-driven part of the update (host-side
+            # pre-step; the jitted graph is unchanged)
+            state = state._replace(
+                u=state.u + (bc_scale - bc_scale_prev) * self._bc_response())
         return self._time_step_impl(state, dt, bc_scale)
+
+    def _bc_response(self):
+        """du/d(bc_scale): the constrained elasticity solve against the
+        unit-bc-pattern RHS, computed once (eager, cached).  Constrained
+        rows carry the Dirichlet pattern itself, so a warm start
+        ``u + Δs * response`` lands exactly on the new boundary values."""
+        cached = self.__dict__.get("_bc_response_cache")
+        if cached is not None:
+            return cached
+        d, data = self.disc, self.data
+        b = d.free_mask_u * (-self._elasticity_lift) \
+            + (1.0 - d.free_mask_u) * d.dirichlet_values
+        tol = 1e-8 * jnp.linalg.norm(b)
+        row_ops = getattr(d, "row_ops", None)
+        if row_ops is not None:
+            res = cg_solve(row_ops.constrained_apply, row_ops.to_rows(b),
+                           row_ops.to_rows(jnp.zeros_like(b)),
+                           row_ops.diag_rows, tol=tol, max_iter=5000)
+            u_bc = row_ops.from_rows(res.x)
+        else:
+            res = jax.jit(lambda bb: cg_solve(
+                d.elasticity_constrained, bb, jnp.zeros_like(bb),
+                d.diag_elasticity, tol=tol, max_iter=5000))(b)
+            u_bc = res.x
+        u_bc = jax.block_until_ready(d._hcu.distribute(u_bc))
+        object.__setattr__(self, "_bc_response_cache", u_bc)
+        return u_bc
 
     @partial(jax.jit, static_argnums=(0, 2))
     def _time_step_impl(self, state: State, dt, bc_scale=1.0):

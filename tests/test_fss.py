@@ -144,3 +144,39 @@ def test_fss_cap_respected_when_unreachable():
     st1, stats = solver.time_step(st, data.time_step)
     assert int(stats.fss_iterations) == 7
     assert float(stats.pressure_error) > 1e-14
+
+
+def test_bc_superposition_warm_start():
+    """Passing bc_scale_prev enables the linear-superposition warm start:
+    same solution, strictly fewer mechanics CG iterations on a ramped
+    load."""
+    import dataclasses
+
+    import numpy as np
+
+    from poroelasticity_dealii_tpu.config import read_input_file
+    from poroelasticity_dealii_tpu.mesh import hyper_rectangle
+    from poroelasticity_dealii_tpu.solvers import (FixedStressSolver,
+                                                   build_discretization)
+
+    data = read_input_file("configs/golden_2d.data")
+    data = dataclasses.replace(data, mech_cg_relative=True,
+                               mech_cg_tol=1e-10)
+    mesh = hyper_rectangle(data.domain_size, 3)
+    disc = build_discretization(mesh, data)
+    solver = FixedStressSolver(disc, data)
+    st0 = solver.initial_state()
+
+    # step with a 10% load ramp, without and with the predictor
+    a_plain, t_plain = solver.time_step(st0, data.time_step, 1.1)
+    a_pred, t_pred = solver.time_step(st0, data.time_step, 1.1,
+                                      bc_scale_prev=1.0)
+    np.testing.assert_allclose(np.asarray(a_pred.p), np.asarray(a_plain.p),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(a_pred.u), np.asarray(a_plain.u),
+                               rtol=1e-6, atol=1e-14)
+    assert int(t_pred.mech_cg_iterations) < int(t_plain.mech_cg_iterations)
+    # no-op cases: equal scales, or omitted prev
+    a_same, _ = solver.time_step(st0, data.time_step, 1.1,
+                                 bc_scale_prev=1.1)
+    np.testing.assert_allclose(np.asarray(a_same.p), np.asarray(a_plain.p))
