@@ -98,6 +98,8 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag=""):
     print(f"# {tag}first step (incl. compile): "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # diagnostics pass: synced per step so per-step iteration counts and
+    # the non-degeneracy assertion are exact
     times = []
     mech_cg = []
     for i in range(n_steps):
@@ -121,7 +123,24 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag=""):
         # the point of the evolving regime: mechanics does real work
         assert all(c > 0 for c in mech_cg), \
             f"evolving-regime bench degenerated: mech CG = {mech_cg}"
-    return sum(times) / len(times)
+    # throughput pass: steps chained with one final sync — the production
+    # host loop does not block per step (JAX async dispatch; logging reads
+    # stats behind the device).  Per-step blocking costs ~36 ms of
+    # host/tunnel round-trip on this setup and measures the harness, not
+    # the solver.
+    s0 = 2 + n_steps
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        bc_scale = 1.0 + bc_rate * (s0 + i)
+        state, stats = solver.time_step(state, data.time_step, bc_scale,
+                                        bc_scale_prev=1.0
+                                        + bc_rate * (s0 + i - 1))
+    state.p.block_until_ready()
+    chained = (time.perf_counter() - t0) / n_steps
+    assert np.isfinite(float(stats.pressure_error))
+    print(f"# {tag}chained x{n_steps}: {chained*1e3:.1f} ms/step "
+          f"(synced avg {sum(times)/len(times)*1e3:.1f})", file=sys.stderr)
+    return chained, sum(times) / len(times)
 
 
 def _op_models(data, disc):
@@ -223,9 +242,9 @@ def main():
     if "--cpu-baseline" in sys.argv:
         data, disc, solver, n_dofs = build(platform="cpu",
                                            elasticity_backend=backend)
-        ms = measure(data, solver, n_steps=2) * 1e3
+        ms = measure(data, solver, n_steps=2)[0] * 1e3
         ms_ev = measure(data, solver, n_steps=2, bc_rate=BC_RATE,
-                        tag="evolving ") * 1e3
+                        tag="evolving ")[0] * 1e3
         rec = {"cpu_ms_per_step": ms, "cpu_ms_per_step_evolving": ms_ev,
                "n_dofs": n_dofs,
                "cells_per_axis": CELLS_PER_AXIS,
@@ -239,10 +258,13 @@ def main():
     data, disc, solver, n_dofs = build(elasticity_backend=backend)
     # variant 1: the original quasi-static deck (steady loading; mechanics
     # mostly satisfied by warm starts — the pressure-path regime)
-    ms = measure(data, solver) * 1e3
+    ms, ms_sync = measure(data, solver)
+    ms, ms_sync = ms * 1e3, ms_sync * 1e3
     # variant 2: evolving mechanics (ramped plate load; mech CG > 0 every
     # step, asserted) — the regime the round-1 bench missed
-    ms_ev = measure(data, solver, bc_rate=BC_RATE, tag="evolving ") * 1e3
+    ms_ev, ms_ev_sync = measure(data, solver, bc_rate=BC_RATE,
+                                tag="evolving ")
+    ms_ev, ms_ev_sync = ms_ev * 1e3, ms_ev_sync * 1e3
     util = breakdown(data, disc, solver, quiet=False)
 
     vs_baseline = vs_baseline_ev = None
@@ -261,6 +283,8 @@ def main():
         "evolving_mechanics_ms": round(ms_ev, 2),
         "evolving_vs_baseline": (round(vs_baseline_ev, 3)
                                  if vs_baseline_ev else None),
+        "synced_ms_per_step": round(ms_sync, 2),
+        "evolving_synced_ms_per_step": round(ms_ev_sync, 2),
         "utilization": util,
     }))
 

@@ -163,6 +163,10 @@ _SCHEMA = {
     ("TPU", "Output directory"): ("./solution", _str()),
     ("TPU", "Output VTK"): ("true", _str({"true", "false"})),
     ("TPU", "Checkpoint every"): ("0", _int(0)),
+    # host-sync cadence: with N > 1 the runner dispatches N steps
+    # back-to-back (JAX async) and reads stats/logs at sync points only —
+    # per-step blocking costs ~35 ms of host round-trip on remote TPUs
+    ("TPU", "Sync every"): ("1", _int(1)),
     ("TPU", "Checkpoint directory"): ("./checkpoints", _str()),
     ("TPU", "Refine every"): ("5", _int(0)),  # reference: every 5th step
     ("TPU", "AMR"): ("false", _str({"true", "false"})),
@@ -243,6 +247,7 @@ class InputData:
     output_vtk: bool = True
     checkpoint_every: int = 0
     checkpoint_directory: str = "./checkpoints"
+    sync_every: int = 1
     refine_every: int = 5
     amr: bool = False
     mech_cg_tol: float = 1e-12
@@ -335,6 +340,7 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
         output_directory=vals[("TPU", "Output directory")],
         output_vtk=vals[("TPU", "Output VTK")] == "true",
         checkpoint_every=vals[("TPU", "Checkpoint every")],
+        sync_every=vals[("TPU", "Sync every")],
         checkpoint_directory=vals[("TPU", "Checkpoint directory")],
         refine_every=vals[("TPU", "Refine every")],
         amr=vals[("TPU", "AMR")] == "true",

@@ -71,35 +71,52 @@ class SimulationRunner:
             self.output(state, 0)
 
         dt = data.time_step
+        sync_every = max(1, getattr(data, "sync_every", 1))
+        pending = []   # (step, t, stats, state, wall_s) awaiting host sync
+
+        def flush():
+            """Sync point: read stats, log, write VTK/checkpoints, check
+            for divergence — for every buffered step."""
+            if not pending:
+                return
+            pending[-1][3].p.block_until_ready()
+            for (s, ts, stats, st, wall) in pending:
+                self.logger.log_step(s, ts, stats, wall)
+                self.output(st, s)
+                if data.checkpoint_every and s % data.checkpoint_every == 0:
+                    save_checkpoint(
+                        os.path.join(data.checkpoint_directory,
+                                     f"ckpt-{s:06d}.npz"), st, ts, s)
+                if not np.isfinite(float(stats.pressure_error)):
+                    raise FloatingPointError(
+                        f"FSS residual diverged at step {s}")
+                if not bool(stats.cg_converged):
+                    # the reference aborts from deal.II SolverControl; we
+                    # warn and keep the run alive with the partial solve
+                    import warnings
+                    if bool(getattr(stats, "cg_stalled", False)):
+                        reason = ("stagnated (residual reduction < 2%/iter "
+                                  "— often the benign f32 attainable floor)")
+                    else:
+                        reason = "hit its iteration cap"
+                    warnings.warn(
+                        f"step {s}: a linear solve {reason} before "
+                        "reaching tolerance", RuntimeWarning)
+            pending.clear()
+
         while t < data.t_max:
             t += dt
             step += 1
             t0 = time.perf_counter()
             state, stats = self.solver.time_step(state, dt)
-            state.p.block_until_ready()
+            if sync_every == 1:
+                # default: block per step so wall times are per-step exact
+                state.p.block_until_ready()
             wall = time.perf_counter() - t0
-            self.logger.log_step(step, t, stats, wall)
-            self.output(state, step)
-            if data.checkpoint_every and step % data.checkpoint_every == 0:
-                save_checkpoint(
-                    os.path.join(data.checkpoint_directory,
-                                 f"ckpt-{step:06d}.npz"),
-                    state, t, step)
-            if not np.isfinite(float(stats.pressure_error)):
-                raise FloatingPointError(
-                    f"FSS residual diverged at step {step}")
-            if not bool(stats.cg_converged):
-                # the reference aborts from deal.II SolverControl; we warn
-                # and keep the run alive with the partial solve
-                import warnings
-                if bool(getattr(stats, "cg_stalled", False)):
-                    reason = ("stagnated (residual reduction < 2%/iter — "
-                              "often the benign f32 attainable floor)")
-                else:
-                    reason = "hit its iteration cap"
-                warnings.warn(
-                    f"step {step}: a linear solve {reason} before reaching "
-                    "tolerance", RuntimeWarning)
+            pending.append((step, t, stats, state, wall))
+            if step % sync_every == 0:
+                flush()
+        flush()
         self.logger.close()
         return state
 

@@ -75,3 +75,36 @@ def test_phase_timer():
         pass
     assert t.counts["a"] == 2 and t.counts["b"] == 1
     assert "a" in t.report()
+
+
+def test_sync_every_chained_runner_matches_default(tmp_path):
+    """TPU / Sync every = N defers host syncs (logging, VTK, checks) to
+    every Nth step; results and run-log contents must match the per-step
+    default exactly."""
+    import dataclasses
+    import json
+    import numpy as np
+    from poroelasticity_dealii_tpu.config import read_input_file
+    from poroelasticity_dealii_tpu.models.runner import SimulationRunner
+
+    data = read_input_file("configs/golden_2d.data")
+    base = dataclasses.replace(data, t_max=300.0, output_vtk=False)
+    runs = {}
+    for name, n in (("sync1", 1), ("sync3", 3)):
+        d = dataclasses.replace(
+            base, sync_every=n, output_directory=str(tmp_path / name))
+        import os
+        os.makedirs(d.output_directory, exist_ok=True)
+        state = SimulationRunner(d).run()
+        log = [json.loads(line) for line in
+               open(tmp_path / name / "run_log.jsonl")]
+        runs[name] = (state, log)
+    s1, l1 = runs["sync1"]
+    s3, l3 = runs["sync3"]
+    np.testing.assert_array_equal(np.asarray(s1.p), np.asarray(s3.p))
+    np.testing.assert_array_equal(np.asarray(s1.u), np.asarray(s3.u))
+    assert len(l1) == len(l3) == 5
+    for a, b in zip(l1, l3):
+        for key in ("step", "time", "fss", "press", "cg_p", "cg_u"):
+            if key in a:
+                assert a[key] == b[key], key
