@@ -123,13 +123,14 @@ class AMRSimulationRunner:
             resume_from: Optional[str] = None):
         data = self.data
         if resume_from:
-            from ..utils.checkpoint import (load_checkpoint,
-                                            load_checkpoint_forest)
-            forest = load_checkpoint_forest(resume_from)
+            from ..utils.checkpoint import (load_checkpoint_any,
+                                            load_checkpoint_forest_any)
+            forest = load_checkpoint_forest_any(resume_from)
             if forest is not None:
                 self.forest = forest
                 self._rebuild()
-            state, t, step = load_checkpoint(resume_from, self.disc.dtype)
+            state, t, step = load_checkpoint_any(resume_from,
+                                                 self.disc.dtype)
         else:
             state = self.solver.initial_state()
             self._output(state, 0)
@@ -156,9 +157,16 @@ class AMRSimulationRunner:
             if data.checkpoint_every and step % data.checkpoint_every == 0:
                 import os
 
-                from ..utils.checkpoint import save_checkpoint
-                save_checkpoint(
-                    os.path.join(data.checkpoint_directory,
-                                 f"ckpt-{step:06d}.npz"),
-                    state, t, step, forest=self.forest)
+                from ..utils.checkpoint import (save_checkpoint,
+                                                save_checkpoint_orbax)
+                if data.checkpoint_format == "orbax":
+                    save_checkpoint_orbax(
+                        os.path.join(data.checkpoint_directory,
+                                     f"ckpt-{step:06d}"),
+                        state, t, step, forest=self.forest)
+                else:
+                    save_checkpoint(
+                        os.path.join(data.checkpoint_directory,
+                                     f"ckpt-{step:06d}.npz"),
+                        state, t, step, forest=self.forest)
         return state, history

@@ -168,6 +168,7 @@ _SCHEMA = {
     # per-step blocking costs ~35 ms of host round-trip on remote TPUs
     ("TPU", "Sync every"): ("1", _int(1)),
     ("TPU", "Checkpoint directory"): ("./checkpoints", _str()),
+    ("TPU", "Checkpoint format"): ("npz", _str({"npz", "orbax"})),
     ("TPU", "Refine every"): ("5", _int(0)),  # reference: every 5th step
     ("TPU", "AMR"): ("false", _str({"true", "false"})),
     # linear-solver tolerances (defaults = the reference's hardcoded values:
@@ -247,6 +248,7 @@ class InputData:
     output_vtk: bool = True
     checkpoint_every: int = 0
     checkpoint_directory: str = "./checkpoints"
+    checkpoint_format: str = "npz"
     sync_every: int = 1
     refine_every: int = 5
     amr: bool = False
@@ -340,6 +342,7 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
         output_directory=vals[("TPU", "Output directory")],
         output_vtk=vals[("TPU", "Output VTK")] == "true",
         checkpoint_every=vals[("TPU", "Checkpoint every")],
+        checkpoint_format=vals[("TPU", "Checkpoint format")],
         sync_every=vals[("TPU", "Sync every")],
         checkpoint_directory=vals[("TPU", "Checkpoint directory")],
         refine_every=vals[("TPU", "Refine every")],

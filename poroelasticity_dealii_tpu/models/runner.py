@@ -23,7 +23,8 @@ from ..config import InputData, read_input_file
 from ..mesh import read_msh
 from ..solvers import FixedStressSolver, build_discretization
 from ..solvers.fss import State
-from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.checkpoint import (load_checkpoint_any, save_checkpoint,
+                                save_checkpoint_orbax, wait_for_checkpoints)
 from ..utils.logging_utils import RunLogger
 from ..utils.vtk_io import displacement_at_pressure_nodes, write_vtk
 
@@ -65,7 +66,8 @@ class SimulationRunner:
     def run(self, resume_from: Optional[str] = None) -> State:
         data = self.data
         if resume_from:
-            state, t, step = load_checkpoint(resume_from, self.disc.dtype)
+            state, t, step = load_checkpoint_any(resume_from,
+                                                 self.disc.dtype)
         else:
             state, t, step = self.solver.initial_state(), 0.0, 0
             self.output(state, 0)
@@ -84,9 +86,14 @@ class SimulationRunner:
                 self.logger.log_step(s, ts, stats, wall)
                 self.output(st, s)
                 if data.checkpoint_every and s % data.checkpoint_every == 0:
-                    save_checkpoint(
-                        os.path.join(data.checkpoint_directory,
-                                     f"ckpt-{s:06d}.npz"), st, ts, s)
+                    if data.checkpoint_format == "orbax":
+                        save_checkpoint_orbax(
+                            os.path.join(data.checkpoint_directory,
+                                         f"ckpt-{s:06d}"), st, ts, s)
+                    else:
+                        save_checkpoint(
+                            os.path.join(data.checkpoint_directory,
+                                         f"ckpt-{s:06d}.npz"), st, ts, s)
                 if not np.isfinite(float(stats.pressure_error)):
                     raise FloatingPointError(
                         f"FSS residual diverged at step {s}")
@@ -117,6 +124,8 @@ class SimulationRunner:
             if step % sync_every == 0:
                 flush()
         flush()
+        if data.checkpoint_format == "orbax":
+            wait_for_checkpoints()   # async saves must be durable on exit
         self.logger.close()
         return state
 

@@ -3,8 +3,15 @@
 The reference has no restart capability (state lives in memory only; SURVEY
 §5).  The minimal restart vector is exactly what its ``SolutionTransfer``
 carries across mesh changes — {p, eps_v, eps_v0} — plus u, strains, time and
-step (``PoroelasticityFSS.h:474-497``).  Stored as a plain ``.npz`` (no
-extra deps; orbax can be layered on later for async multi-host saves).
+step (``PoroelasticityFSS.h:474-497``).
+
+Two interchangeable backends:
+
+* ``.npz`` (default) — synchronous, dependency-free, one file;
+* **orbax** (``TPU / Checkpoint format = orbax``) — asynchronous
+  device-to-disk saves (the host enqueues the save and keeps stepping;
+  multi-host/sharded-array ready).  A checkpoint path ending in ``.npz``
+  loads via numpy, anything else via orbax, so resume auto-detects.
 """
 
 from __future__ import annotations
@@ -69,3 +76,82 @@ def load_checkpoint_forest(path: str):
         leaves = {tuple(int(v) for v in row) for row in rows}
         return cls(lower=z["forest_lower"], upper=z["forest_upper"],
                    leaves=leaves)
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (async, multi-host ready)
+# ---------------------------------------------------------------------------
+
+_ORBAX_MGRS = {}
+
+
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+    key = "ckpt"
+    if key not in _ORBAX_MGRS:
+        _ORBAX_MGRS[key] = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+    return _ORBAX_MGRS[key]
+
+
+def save_checkpoint_orbax(path: str, state: State, time_: float, step: int,
+                          forest=None):
+    """Asynchronous orbax save: returns immediately; the device arrays are
+    snapshotted and written in the background (call
+    :func:`wait_for_checkpoints` before process exit)."""
+    payload = {
+        "version": FORMAT_VERSION,
+        "p": state.p, "u": state.u,
+        "eps_v": state.eps_v, "eps_v0": state.eps_v0,
+        "strains": state.strains,
+        "time": float(time_), "step": int(step),
+    }
+    if forest is not None:
+        payload["forest_leaves"] = np.asarray(sorted(forest.leaves),
+                                              dtype=np.int64)
+        payload["forest_lower"] = np.asarray(forest.lower)
+        payload["forest_upper"] = np.asarray(forest.upper)
+    ckptr = _orbax_checkpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+
+
+def wait_for_checkpoints():
+    """Block until all pending async orbax saves are durable."""
+    for c in _ORBAX_MGRS.values():
+        c.wait_until_finished()
+
+
+def _load_orbax(path: str):
+    import orbax.checkpoint as ocp
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
+def load_checkpoint_any(path: str, dtype=None) -> Tuple[State, float, int]:
+    """Resume from either backend: .npz via numpy, directories via orbax."""
+    if path.endswith(".npz"):
+        return load_checkpoint(path, dtype)
+    import jax.numpy as jnp
+    z = _load_orbax(path)
+    if int(z["version"]) != FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint version {z['version']}")
+    cast = (lambda a: jnp.asarray(a, dtype=dtype)) if dtype else jnp.asarray
+    state = State(p=cast(z["p"]), u=cast(z["u"]), eps_v=cast(z["eps_v"]),
+                  eps_v0=cast(z["eps_v0"]), strains=cast(z["strains"]))
+    return state, float(z["time"]), int(z["step"])
+
+
+def load_checkpoint_forest_any(path: str):
+    if path.endswith(".npz"):
+        return load_checkpoint_forest(path)
+    z = _load_orbax(path)
+    if "forest_leaves" not in z:
+        return None
+    rows = np.asarray(z["forest_leaves"])
+    if rows.shape[1] == 4:
+        from ..amr.octforest import OctForest as cls
+    else:
+        from ..amr.forest import QuadForest as cls
+    leaves = {tuple(int(v) for v in row) for row in rows}
+    return cls(lower=np.asarray(z["forest_lower"]),
+               upper=np.asarray(z["forest_upper"]), leaves=leaves)

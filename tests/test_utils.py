@@ -108,3 +108,46 @@ def test_sync_every_chained_runner_matches_default(tmp_path):
         for key in ("step", "time", "fss", "press", "cg_p", "cg_u"):
             if key in a:
                 assert a[key] == b[key], key
+
+
+def test_orbax_checkpoint_roundtrip_and_resume(tmp_path):
+    """'TPU / Checkpoint format = orbax': async saves, resume matches the
+    npz path bitwise."""
+    import dataclasses
+    import numpy as np
+    from poroelasticity_dealii_tpu.config import read_input_file
+    from poroelasticity_dealii_tpu.models.runner import SimulationRunner
+    from poroelasticity_dealii_tpu.utils.checkpoint import (
+        load_checkpoint_any, wait_for_checkpoints)
+
+    data = read_input_file("configs/golden_2d.data")
+    base = dataclasses.replace(
+        data, t_max=360.0, output_vtk=False, checkpoint_every=3)
+    d_orb = dataclasses.replace(
+        base, checkpoint_format="orbax",
+        output_directory=str(tmp_path / "orb"),
+        checkpoint_directory=str(tmp_path / "orb_ck"))
+    d_npz = dataclasses.replace(
+        base, output_directory=str(tmp_path / "npz"),
+        checkpoint_directory=str(tmp_path / "npz_ck"))
+    import os
+    for d in (d_orb, d_npz):
+        os.makedirs(d.output_directory, exist_ok=True)
+    s_orb = SimulationRunner(d_orb).run()
+    wait_for_checkpoints()
+    s_npz = SimulationRunner(d_npz).run()
+    # both backends produced step-3 checkpoints with identical contents
+    st_o, t_o, k_o = load_checkpoint_any(
+        str(tmp_path / "orb_ck" / "ckpt-000003"))
+    st_n, t_n, k_n = load_checkpoint_any(
+        str(tmp_path / "npz_ck" / "ckpt-000003.npz"))
+    assert (t_o, k_o) == (t_n, k_n)
+    np.testing.assert_array_equal(np.asarray(st_o.p), np.asarray(st_n.p))
+    np.testing.assert_array_equal(np.asarray(st_o.u), np.asarray(st_n.u))
+    # resume from the orbax checkpoint reproduces the uninterrupted run
+    d_res = dataclasses.replace(
+        d_orb, output_directory=str(tmp_path / "res"))
+    os.makedirs(d_res.output_directory, exist_ok=True)
+    s_res = SimulationRunner(d_res).run(
+        resume_from=str(tmp_path / "orb_ck" / "ckpt-000003"))
+    np.testing.assert_array_equal(np.asarray(s_res.p), np.asarray(s_orb.p))
