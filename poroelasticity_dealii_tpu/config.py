@@ -169,6 +169,11 @@ _SCHEMA = {
     ("TPU", "Sync every"): ("1", _int(1)),
     ("TPU", "Checkpoint directory"): ("./checkpoints", _str()),
     ("TPU", "Checkpoint format"): ("npz", _str({"npz", "orbax"})),
+    # internal similarity rescale of the whole problem to O(1) magnitudes
+    # (stress/E, length/L, time/dt) — exact in f64; makes absolute
+    # tolerances meaningful in f32; VTK output rescaled back to SI
+    # (models/scaling.py)
+    ("TPU", "Nondimensionalize"): ("false", _str({"true", "false"})),
     ("TPU", "Refine every"): ("5", _int(0)),  # reference: every 5th step
     ("TPU", "AMR"): ("false", _str({"true", "false"})),
     # linear-solver tolerances (defaults = the reference's hardcoded values:
@@ -249,6 +254,7 @@ class InputData:
     checkpoint_every: int = 0
     checkpoint_directory: str = "./checkpoints"
     checkpoint_format: str = "npz"
+    nondimensionalize: bool = False
     sync_every: int = 1
     refine_every: int = 5
     amr: bool = False
@@ -343,6 +349,7 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
         output_vtk=vals[("TPU", "Output VTK")] == "true",
         checkpoint_every=vals[("TPU", "Checkpoint every")],
         checkpoint_format=vals[("TPU", "Checkpoint format")],
+        nondimensionalize=vals[("TPU", "Nondimensionalize")] == "true",
         sync_every=vals[("TPU", "Sync every")],
         checkpoint_directory=vals[("TPU", "Checkpoint directory")],
         refine_every=vals[("TPU", "Refine every")],

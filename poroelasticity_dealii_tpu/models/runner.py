@@ -31,7 +31,12 @@ from ..utils.vtk_io import displacement_at_pressure_nodes, write_vtk
 
 class SimulationRunner:
     def __init__(self, data: InputData, mesh=None,
-                 logger: Optional[RunLogger] = None, disc=None):
+                 logger: Optional[RunLogger] = None, disc=None,
+                 scales=None):
+        """``scales``: a :class:`..models.scaling.Scales` when ``data`` is
+        the nondimensionalized deck — VTK output is rescaled back to SI
+        (run logs and checkpoints stay in solver units)."""
+        self.scales = scales
         self.data = data
         if disc is not None:
             self.disc = disc
@@ -57,10 +62,16 @@ class SimulationRunner:
         su = self.disc.displacement_space
         u_p = displacement_at_pressure_nodes(sp, su, np.asarray(state.u))
         stresses = np.asarray(self.solver.effective_stresses(state.strains))
+        p = np.asarray(state.p)
+        if self.scales is not None:       # back to SI for visualization
+            import dataclasses as _dc
+            u_p = self.scales.u(u_p)
+            stresses = self.scales.stresses(stresses)
+            p = self.scales.p(p)
+            sp = _dc.replace(sp, node_coords=self.scales.u(sp.node_coords))
         path = os.path.join(self.data.output_directory,
                             f"solution-{step:04d}.vtk")
-        write_vtk(path, sp, u_p, np.asarray(state.p),
-                  np.asarray(state.strains), stresses)
+        write_vtk(path, sp, u_p, p, np.asarray(state.strains), stresses)
 
     # -------------------------------------------------------------------
     def run(self, resume_from: Optional[str] = None) -> State:
@@ -136,14 +147,20 @@ def run_from_data(data: InputData, resume_from: Optional[str] = None) -> State:
     if data.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)
+    scales = None
+    if data.nondimensionalize:
+        from .scaling import nondimensionalize
+        data, scales = nondimensionalize(data)
     if data.amr:
+        if scales is not None:
+            raise NotImplementedError("Nondimensionalize with AMR")
         from ..amr.driver import AMRSimulationRunner
         runner = AMRSimulationRunner(
             data, logger=RunLogger(
                 os.path.join(data.output_directory, "run_log.jsonl")))
         state, _ = runner.run(resume_from=resume_from)
         return state
-    runner = SimulationRunner(data)
+    runner = SimulationRunner(data, scales=scales)
     return runner.run(resume_from=resume_from)
 
 
