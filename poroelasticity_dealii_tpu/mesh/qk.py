@@ -11,9 +11,11 @@ Numbering order: mesh vertices first (so Q1 node i == vertex i), then edge
 nodes, then (3D) face nodes, then cell-interior nodes.  Deterministic given
 cell ordering.
 
-Supported: any degree k in 2D; k <= 2 in 3D (Q2 has a single, orientation-free
-interior node per face; higher-order 3D face-node orientation is future work —
-the reference only ever uses Q1/Q2).
+Supported: any degree k in any dim.  3D face-interior nodes (k >= 2) use a
+canonical per-face frame anchored at the smallest-id corner so both sharing
+cells agree on the (k-1)^2 node grid — the deal.II face-orientation
+machinery reduced to a frame convention.  (The reference only ever
+instantiates Q1/Q2.)
 """
 
 from __future__ import annotations
@@ -29,8 +31,6 @@ def build_fe_space(mesh: Mesh, degree: int) -> FESpace:
     dim = mesh.dim
     if k < 1:
         raise ValueError("degree must be >= 1")
-    if dim == 3 and k > 2:
-        raise NotImplementedError("3D Q_k for k>2 (face-node orientation)")
 
     lat = node_lattice(k, dim)                       # (n_loc, dim)
     n_loc = lat.shape[0]
@@ -101,32 +101,99 @@ def build_fe_space(mesh: Mesh, degree: int) -> FESpace:
         edge_coords = np.zeros((0, dim))
 
     # --- face-interior nodes (3D only) --------------------------------------
+    # Orientation-consistent for ANY k: each unique face gets a CANONICAL
+    # (k-1)x(k-1) node grid anchored at its smallest-id corner c0, with the
+    # i-axis toward c0's smaller-id face neighbour — both sharing cells
+    # derive the same global (i, j) for each physical point, which is the
+    # deal.II face-orientation machinery reduced to a frame convention.
+    # (k = 2 has a single central node and degenerates to the old rule.)
     face_coords = np.zeros((0, dim))
-    if dim == 3 and k == 2:
+    if dim == 3 and k >= 2:
         face_locals = np.nonzero(n_interior_axes == 2)[0]
         if len(face_locals):
-            fkeys, fcorners = [], []
+            m = (k - 1) * (k - 1)
+            # unique faces by sorted corner quads (over a canonical set of
+            # 6 faces per cell, not per node, for the dedup)
+            quads_per_node = []
+            geom = []   # per local node: (corner-id arrays p00,p10,p01,p11,
+            #             u, v) with u along interior axis d1, v along d2
             for a in face_locals:
-                interior = np.nonzero(~on_bnd[a])[0]
-                fixed = int(np.nonzero(on_bnd[a])[0][0])
-                ids = []
-                for b1 in (False, True):
-                    for b0 in (False, True):
+                interior = np.sort(np.nonzero(~on_bnd[a])[0])
+                d1, d2 = int(interior[0]), int(interior[1])
+                ids = {}
+                for y0 in (0, 1):
+                    for x0 in (0, 1):
                         bits = on_hi[a].copy()
-                        bits[interior[0]] = b0
-                        bits[interior[1]] = b1
-                        ids.append(cells[:, corner_index(bits)])
-                quad = np.sort(np.stack(ids, axis=1), axis=1)  # (n_cells, 4)
-                fcorners.append(quad)
-            quads = np.stack(fcorners, axis=1)  # (n_cells, n_face_locals, 4)
-            flat = quads.reshape(-1, 4)
+                        bits[d1] = bool(x0)
+                        bits[d2] = bool(y0)
+                        ids[(x0, y0)] = cells[:, corner_index(bits)]
+                geom.append((ids, int(lat[a, d1]), int(lat[a, d2])))
+                quads_per_node.append(np.sort(np.stack(
+                    [ids[(0, 0)], ids[(1, 0)], ids[(0, 1)], ids[(1, 1)]],
+                    axis=1), axis=1))
+            flat = np.stack(quads_per_node, axis=1).reshape(-1, 4)
             uniq, inv = np.unique(flat, axis=0, return_inverse=True)
             inv = inv.reshape(n_cells, len(face_locals))
-            gids = next_base + inv
-            for j, a in enumerate(face_locals):
-                cell_nodes[:, a] = gids[:, j]
-            face_coords = mesh.vertices[uniq].mean(axis=1)
-            next_base += uniq.shape[0]
+
+            # canonical (i, j) per (cell, local face node), vectorized
+            corner_keys = [(0, 0), (1, 0), (0, 1), (1, 1)]
+            # face-graph neighbours of each corner: (along-axis1, along-axis2)
+            nbr = {(0, 0): ((1, 0), (0, 1)), (1, 0): ((0, 0), (1, 1)),
+                   (0, 1): ((1, 1), (0, 0)), (1, 1): ((0, 1), (1, 0))}
+            face_node_xy = {}   # uniq face idx -> canonical frame coords
+            for j_loc, a in enumerate(face_locals):
+                ids, u, v = geom[j_loc]
+                g = np.stack([ids[ck] for ck in corner_keys])  # (4, n_cells)
+                c0 = np.argmin(g, axis=0)                      # (n_cells,)
+                ii = np.zeros(n_cells, np.int64)
+                jj = np.zeros(n_cells, np.int64)
+                for ci, ck in enumerate(corner_keys):
+                    sel = c0 == ci
+                    if not sel.any():
+                        continue
+                    n1, n2 = nbr[ck]
+                    ca_is_a1 = ids[n1][sel] < ids[n2][sel]
+                    d1c = u if ck[0] == 0 else k - u
+                    d2c = v if ck[1] == 0 else k - v
+                    ii[sel] = np.where(ca_is_a1, d1c, d2c)
+                    jj[sel] = np.where(ca_is_a1, d2c, d1c)
+                gid = (next_base + inv[:, j_loc] * m
+                       + (jj - 1) * (k - 1) + (ii - 1))
+                cell_nodes[:, a] = gid
+            # canonical coordinates per unique face: bilinear over the
+            # (c0, ca, cb, opposite) frame at (i/k, j/k)
+            fc = np.zeros((uniq.shape[0] * m, dim))
+            filled = np.zeros(uniq.shape[0], bool)
+            for j_loc, a in enumerate(face_locals):
+                ids, u, v = geom[j_loc]
+                g = np.stack([ids[ck] for ck in corner_keys])
+                c0 = np.argmin(g, axis=0)
+                for ci, ck in enumerate(corner_keys):
+                    sel = np.nonzero((c0 == ci))[0]
+                    for e in sel:
+                        f = inv[e, j_loc]
+                        if filled[f]:
+                            continue
+                        filled[f] = True
+                        n1, n2 = nbr[ck]
+                        if ids[n1][e] < ids[n2][e]:
+                            ca_k, cb_k = n1, n2
+                        else:
+                            ca_k, cb_k = n2, n1
+                        opp = (1 - ck[0], 1 - ck[1])
+                        vc0 = mesh.vertices[ids[ck][e]]
+                        vca = mesh.vertices[ids[ca_k][e]]
+                        vcb = mesh.vertices[ids[cb_k][e]]
+                        vop = mesh.vertices[ids[opp][e]]
+                        for jn in range(1, k):
+                            for in_ in range(1, k):
+                                s, t = in_ / k, jn / k
+                                fc[f * m + (jn - 1) * (k - 1) + (in_ - 1)] \
+                                    = ((1 - s) * (1 - t) * vc0
+                                       + s * (1 - t) * vca
+                                       + (1 - s) * t * vcb + s * t * vop)
+            face_coords = fc
+            next_base += uniq.shape[0] * m
 
     # --- cell-interior nodes -------------------------------------------------
     int_locals = np.nonzero(n_interior_axes == dim)[0]

@@ -122,3 +122,78 @@ def test_reference_domain_msh():
     assert np.all(np.asarray(jxw) > 0)
     # total area = 100 m^2
     assert np.isclose(np.asarray(jxw).sum(), 100.0)
+
+
+def test_q3_3d_face_orientation_consistency():
+    """3D Q3: every cell's local lattice position must map to the stored
+    global node coordinate — under RANDOM vertex relabeling, so shared
+    faces are seen with all relative orientations (the orientation bug
+    this catches: two cells disagreeing which face node sits at (i, j))."""
+    import dataclasses
+
+    import numpy as np
+
+    from poroelasticity_dealii_tpu.mesh import hyper_rectangle
+    from poroelasticity_dealii_tpu.mesh.qk import build_fe_space
+    from poroelasticity_dealii_tpu.ops.shape import node_lattice, shape_tables
+
+    base = hyper_rectangle((1.0, 1.0, 1.0), cells_per_axis=(3, 2, 2))
+    rng = np.random.default_rng(11)
+    perm = rng.permutation(base.n_vertices)          # new id of old vertex
+    verts = np.empty_like(base.vertices)
+    verts[perm] = base.vertices
+    mesh = dataclasses.replace(base, vertices=verts,
+                               cells=perm[base.cells.astype(np.int64)]
+                               .astype(base.cells.dtype))
+
+    for k in (2, 3, 4):
+        space = build_fe_space(mesh, k)
+        lat = node_lattice(k, 3).astype(np.float64) / k   # in [0,1]
+        corner_xyz = mesh.vertices[mesh.cells]            # (E, 8, 3)
+        # trilinear map of each lattice point
+        w = np.stack([
+            (1 - lat[:, 0]) * (1 - lat[:, 1]) * (1 - lat[:, 2]),
+            lat[:, 0] * (1 - lat[:, 1]) * (1 - lat[:, 2]),
+            (1 - lat[:, 0]) * lat[:, 1] * (1 - lat[:, 2]),
+            lat[:, 0] * lat[:, 1] * (1 - lat[:, 2]),
+            (1 - lat[:, 0]) * (1 - lat[:, 1]) * lat[:, 2],
+            lat[:, 0] * (1 - lat[:, 1]) * lat[:, 2],
+            (1 - lat[:, 0]) * lat[:, 1] * lat[:, 2],
+            lat[:, 0] * lat[:, 1] * lat[:, 2]], axis=1)   # (NL, 8)
+        expect = np.einsum("nv,evd->end", w, corner_xyz)  # (E, NL, 3)
+        got = space.node_coords[space.cell_nodes.astype(np.int64)]
+        np.testing.assert_allclose(got, expect, atol=1e-12)
+        # every global node owned consistently (no duplicates at a point
+        # with different ids within one cell)
+        for c in range(mesh.n_cells):
+            assert len(set(space.cell_nodes[c].tolist())) \
+                == space.cell_nodes.shape[1]
+
+
+def test_q3_3d_laplace_patch():
+    """Q3 Laplace apply of a linear interpolant vanishes on interior nodes
+    (orientation errors would leave nonzero residuals on face nodes)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from poroelasticity_dealii_tpu.mesh import hyper_rectangle
+    from poroelasticity_dealii_tpu.mesh.qk import build_fe_space
+    from poroelasticity_dealii_tpu.ops import operators as ops
+    from poroelasticity_dealii_tpu.ops.geometry import geometry_factors
+    from poroelasticity_dealii_tpu.ops.quadrature import gauss_tensor
+    from poroelasticity_dealii_tpu.ops.shape import shape_tables
+
+    mesh = hyper_rectangle((1.0, 1.0, 1.0), cells_per_axis=2)
+    space = build_fe_space(mesh, 3)
+    pts, wts = gauss_tensor(4, 3)
+    jinv, jxw = geometry_factors(mesh.vertices[mesh.cells], pts, wts)
+    jinv = jnp.moveaxis(jnp.asarray(jinv), 0, -1)
+    jxw = jnp.moveaxis(jnp.asarray(jxw), 0, -1)
+    _, dref = shape_tables(3, 3, pts)
+    conn = jnp.asarray(np.ascontiguousarray(space.cell_nodes.T))
+    x = space.node_coords
+    f = jnp.asarray(1.0 + 2.0 * x[:, 0] - 3.0 * x[:, 1] + 0.5 * x[:, 2])
+    y = np.asarray(ops.apply_laplace(f, conn, jnp.asarray(dref), jinv, jxw))
+    # hyper_rectangle centers the domain: boundary at |x| = 0.5
+    interior = np.all(np.abs(x) < 0.5 - 1e-9, axis=1)
+    np.testing.assert_allclose(y[interior], 0.0, atol=1e-12)
