@@ -140,7 +140,6 @@ def build_fe_space(mesh: Mesh, degree: int) -> FESpace:
             # face-graph neighbours of each corner: (along-axis1, along-axis2)
             nbr = {(0, 0): ((1, 0), (0, 1)), (1, 0): ((0, 0), (1, 1)),
                    (0, 1): ((1, 1), (0, 0)), (1, 1): ((0, 1), (1, 0))}
-            face_node_xy = {}   # uniq face idx -> canonical frame coords
             for j_loc, a in enumerate(face_locals):
                 ids, u, v = geom[j_loc]
                 g = np.stack([ids[ck] for ck in corner_keys])  # (4, n_cells)
