@@ -371,12 +371,17 @@ def make_pallas_apply_rows(element_matrix: np.ndarray, n: int,
 
 
 def default_tc(n: int, dtype=jnp.float32,
-               vmem_budget: int = 8 << 20) -> int:
-    """Slab depth: as deep as fits the VMEM budget, capped at 10 (measured
-    fastest at n=40 on v5e; deeper slabs gain nothing once DMA is hidden)."""
+               vmem_budget: int = 15 << 20) -> int:
+    """Slab depth: as deep as fits VMEM, capped at 10 (measured fastest at
+    n=40 on v5e; deeper slabs gain nothing once DMA is hidden).
+
+    The usage model ``row_bytes * (4*tc + 26)`` is CALIBRATED from two
+    measured Mosaic scoped-vmem numbers (n=40/tc=20 -> 17.8M,
+    n=56/tc=7 -> 16.85M, 16M limit): the unrolled per-layer compute keeps
+    ~4 row-blocks of stack temps per layer plus a ~26-row base — well
+    above the naive scratch-buffer count, which OOMed at 56^3."""
     row_bytes = 24 * _width(n) * jnp.dtype(dtype).itemsize
-    # 2*(tc+1) double-buffered input + tc output + 1 carry row blocks
-    tc = (vmem_budget // row_bytes - 3) // 3
+    tc = (vmem_budget // row_bytes - 26) // 4
     return max(2, min(10, int(tc)))
 
 
