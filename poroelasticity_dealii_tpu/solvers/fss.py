@@ -93,6 +93,16 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         lift = jax.jit(k_hat)(d.dirichlet_values)
         object.__setattr__(self, "_elasticity_lift",
                            jax.block_until_ready(lift))
+        # row-layout constants for the direct-rows mechanics RHS (skips
+        # the to_rows transpose of b_mod AND the Q2 coupling scatter conv)
+        ro = getattr(d, "row_ops", None)
+        if ro is not None and ro.coupling_rows is not None:
+            object.__setattr__(self, "_lift_rows", ro.to_rows(lift))
+            object.__setattr__(self, "_f_neumann_rows",
+                               ro.to_rows(d.f_neumann))
+            object.__setattr__(self, "_dirichlet_rows",
+                               jax.block_until_ready(
+                                   ro.to_rows(d.dirichlet_values)))
 
     # ---------------- pressure system pieces -------------------------------
 
@@ -209,6 +219,27 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         time-dependent loading (e.g. Mandel's rigid plate) without
         recompiling."""
         d, data = self.disc, self.data
+        row_ops = getattr(d, "row_ops", None)
+        if row_ops is not None and row_ops.coupling_rows is not None:
+            # fully-in-rows RHS assembly (conforming structured grid: the
+            # hanging-node maps are empty): coupling scatters straight into
+            # the row layout and b_mod never exists flat — saves the Q2
+            # scatter conv (~2.2 ms) + one to_rows transpose (~1.5 ms)
+            # per solve at 40^3
+            m = row_ops.free_mask_rows
+            rhs_rows = row_ops.coupling_rows(p) + self._f_neumann_rows
+            b_rows = m * (rhs_rows - bc_scale * self._lift_rows) \
+                + (1.0 - m) * (bc_scale * self._dirichlet_rows)
+            x0_rows = m * row_ops.to_rows(u_warm) \
+                + (1.0 - m) * (bc_scale * self._dirichlet_rows)
+            tol = jnp.asarray(data.mech_cg_tol, d.dtype)
+            if data.mech_cg_relative:
+                tol = tol * jnp.linalg.norm(b_rows)
+            res = cg_solve(row_ops.constrained_apply, b_rows, x0_rows,
+                           row_ops.diag_rows, tol=tol,
+                           max_iter=data.cg_max_iterations)
+            return (row_ops.from_rows(res.x), res.iterations, res.converged,
+                    jnp.asarray(res.stalled))
         rhs = d._hcu.condense_vec(
             d.coupling_rhs(p, data.biot_coef) + d.f_neumann)
         g = d.dirichlet_values * bc_scale
@@ -221,7 +252,6 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         if data.mech_cg_relative:
             tol = tol * jnp.linalg.norm(b_mod)
         precond = getattr(d, "gmg_precond", None)  # multigrid when available
-        row_ops = getattr(d, "row_ops", None)
         if row_ops is not None:
             # Pallas fast path FIRST: the WHOLE CG runs in the comp-major
             # row layout (dots/axpys/masks are layout-exact — see

@@ -316,7 +316,8 @@ def build_grid_discretization(data: InputData,
             d.row_ops = make_row_ops(
                 np.asarray(Ke, np.float64), cells_per_axis[0],
                 d.free_mask_u, d.diag_elasticity, dtype=d.dtype,
-                interpret=not on_tpu)
+                interpret=not on_tpu,
+                coupling_matrix=np.asarray(Ce, np.float64))
 
     # ---- geometric multigrid for the elasticity solve --------------------
     # (isotropic cell counts only: the V-cycle hierarchy coarsens all axes

@@ -152,3 +152,25 @@ def test_row_ops_solver_path_matches_conv():
                                atol=2e-5 * scale)
     np.testing.assert_allclose(np.asarray(st_p.p), np.asarray(st_c.p),
                                rtol=2e-5)
+
+
+def test_coupling_rows_matches_flat_coupling():
+    """make_coupling_rows assembles exactly to_rows(coupling_rhs(p)) — the
+    direct-in-rows mechanics RHS path (f64, several grid sizes)."""
+    import dataclasses
+
+    from poroelasticity_dealii_tpu.ops.pallas_comp_major import to_rows
+    data = read_input_file(DECK)
+    for n in (2, 3, 5):
+        disc = build_grid_discretization(data, cells_per_axis=n,
+                                         multigrid="off",
+                                         elasticity_backend="pallas")
+        ro = disc.row_ops
+        assert ro.coupling_rows is not None
+        rng = np.random.default_rng(n)
+        p = jnp.asarray(rng.standard_normal(disc.n_pdofs), disc.dtype)
+        ref = to_rows(disc.coupling_rhs(p, data.biot_coef), n)
+        got = ro.coupling_rows(p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-10,
+                                   atol=1e-12 * float(jnp.abs(ref).max()))
