@@ -71,6 +71,12 @@ class State(NamedTuple):
     eps_v: jnp.ndarray    # volumetric strain (n_pdofs,)
     eps_v0: jnp.ndarray   # initial volumetric strain (n_pdofs,)
     strains: jnp.ndarray  # (n_voigt, n_pdofs) projected strain components
+    # derived cache, NOT part of the restart vector (checkpoints omit it;
+    # None -> recomputed on first use): u in the comp-major row layout,
+    # carried across steps so the mechanics warm start skips a to_rows
+    # transpose.  A stale value only costs CG iterations, never
+    # correctness (constrained rows are overwritten from the bc pattern).
+    u_rows: jnp.ndarray = None
 
 
 @dataclasses.dataclass(frozen=True, eq=False)  # eq=False: identity hash so
@@ -210,7 +216,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
     # ---------------- mechanics solve ---------------------------------------
 
-    def _mechanics_solve(self, p, u_warm, bc_scale=1.0):
+    def _mechanics_solve(self, p, u_warm, bc_scale=1.0, u_warm_rows=None):
         """Elasticity solve with pressure-coupling RHS + traction + Dirichlet
         (PoroElasticDisplacementSolver.h:155-307).  Body force follows the
         reference's effective default: zero (gravity quirk, SURVEY §2.1.2).
@@ -230,7 +236,9 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             rhs_rows = row_ops.coupling_rows(p) + self._f_neumann_rows
             b_rows = m * (rhs_rows - bc_scale * self._lift_rows) \
                 + (1.0 - m) * (bc_scale * self._dirichlet_rows)
-            x0_rows = m * row_ops.to_rows(u_warm) \
+            warm_rows = (u_warm_rows if u_warm_rows is not None
+                         else row_ops.to_rows(u_warm))
+            x0_rows = m * warm_rows \
                 + (1.0 - m) * (bc_scale * self._dirichlet_rows)
             tol = jnp.asarray(data.mech_cg_tol, d.dtype)
             if data.mech_cg_relative:
@@ -239,7 +247,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                            row_ops.diag_rows, tol=tol,
                            max_iter=data.cg_max_iterations)
             return (row_ops.from_rows(res.x), res.iterations, res.converged,
-                    jnp.asarray(res.stalled))
+                    jnp.asarray(res.stalled), res.x)
         rhs = d._hcu.condense_vec(
             d.coupling_rhs(p, data.biot_coef) + d.f_neumann)
         g = d.dirichlet_values * bc_scale
@@ -278,7 +286,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                            tol=tol, max_iter=data.cg_max_iterations,
                            precond=precond)
         return (d._hcu.distribute(res.x), res.iterations, res.converged,
-                jnp.asarray(res.stalled))
+                jnp.asarray(res.stalled), None)
 
     # ---------------- strain projection -------------------------------------
 
@@ -317,14 +325,15 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         dim = d.dim
         n_voigt = len(VOIGT_PAIRS[dim])
         p = p0 * d.free_mask_p + d.dirichlet_values_p * (1.0 - d.free_mask_p)
-        u, _, _, _ = self._mechanics_solve(p, u0, bc_scale)
+        u, _, _, _, u_rows = self._mechanics_solve(p, u0, bc_scale)
         vol = VOLUMETRIC_ENTRIES[dim]
         warm = jnp.zeros((len(vol), d.n_pdofs), d.dtype)
         vol_strains, _, _ = self._project(u, vol, warm)
         strains = jnp.zeros((n_voigt, d.n_pdofs), d.dtype)
         strains = strains.at[jnp.asarray(vol)].set(vol_strains)
         eps_v = jnp.sum(vol_strains, axis=0)
-        return State(p=p, u=u, eps_v=eps_v, eps_v0=eps_v, strains=strains)
+        return State(p=p, u=u, eps_v=eps_v, eps_v0=eps_v, strains=strains,
+                     u_rows=u_rows)
 
     # ---------------- one full time step (jitted) ---------------------------
 
@@ -349,8 +358,18 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             # superpose it onto the warm start and the mechanics CG only
             # works on the pressure-driven part of the update (host-side
             # pre-step; the jitted graph is unchanged)
-            state = state._replace(
-                u=state.u + (bc_scale - bc_scale_prev) * self._bc_response())
+            ds = bc_scale - bc_scale_prev
+            u_bc = self._bc_response()
+            u_rows = state.u_rows
+            if u_rows is not None:
+                # to_rows is linear: keep the row-layout cache in sync
+                ro = self.disc.row_ops
+                cached = self.__dict__.get("_bc_response_rows")
+                if cached is None:
+                    cached = jax.block_until_ready(ro.to_rows(u_bc))
+                    object.__setattr__(self, "_bc_response_rows", cached)
+                u_rows = u_rows + ds * cached
+            state = state._replace(u=state.u + ds * u_bc, u_rows=u_rows)
         return self._time_step_impl(state, dt, bc_scale)
 
     def _bc_response(self):
@@ -442,11 +461,18 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             it = c["fss_iter"]
             return (it < max_fss) & (c["err"] > data.fss_tol)
 
+        # row-layout warm-start cache is threaded through the carry when
+        # the rows mechanics path is active (trace-time static decision)
+        ro = getattr(d, "row_ops", None)
+        rows_active = ro is not None and ro.coupling_rows is not None
+
         def fss_body(c):
             delta_p = jnp.zeros_like(c["p"])  # reset per FSS iteration (:356)
             p, eps_v, delta_p, err_p, n_press, cg_p, ok_p = pressure_inner(
                 c["p"], c["eps_v"], delta_p)
-            u, cg_u, ok_u, st_u = self._mechanics_solve(p, c["u"], bc_scale)
+            u, cg_u, ok_u, st_u, u_rows = self._mechanics_solve(
+                p, c["u"], bc_scale,
+                u_warm_rows=c.get("u_rows") if rows_active else None)
             vol_strains, cg_proj, ok_pr = self._project(
                 u, vol, c["vol_strains"])
             if resync:
@@ -457,7 +483,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             r = self._pressure_residual(p, p_old, eps_v, eps_v0, dt)
             err = jnp.linalg.norm(r)
             it = c["fss_iter"]
-            return dict(
+            out = dict(
                 p=p, u=u, eps_v=eps_v, vol_strains=vol_strains,
                 err=err, fss_iter=it + 1,
                 press_total=c["press_total"] + n_press,
@@ -467,6 +493,9 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 cg_ok=c["cg_ok"] & ok_p & ok_u & ok_pr,
                 cg_stall=c["cg_stall"] | st_u,
             )
+            if rows_active:
+                out["u_rows"] = u_rows
+            return out
 
         carry = dict(
             p=state.p, u=state.u, eps_v=state.eps_v,
@@ -479,6 +508,9 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             cg_ok=jnp.bool_(True),
             cg_stall=jnp.bool_(False),
         )
+        if rows_active:
+            carry["u_rows"] = (state.u_rows if state.u_rows is not None
+                               else ro.to_rows(state.u))
         c = jax.lax.while_loop(fss_cond, fss_body, carry)
 
         # shear strains once per step after FSS convergence (:409)
@@ -497,7 +529,8 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         # the State field must not drift — it feeds quirk-mode restarts and
         # checkpoints)
         new_state = State(p=c["p"], u=c["u"], eps_v=c["eps_v"],
-                          eps_v0=state.eps_v0, strains=strains)
+                          eps_v0=state.eps_v0, strains=strains,
+                          u_rows=c.get("u_rows"))
         stats = StepStats(
             fss_iterations=c["fss_iter"], pressure_error=c["err"],
             pressure_iterations=c["press_total"],

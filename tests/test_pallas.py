@@ -140,8 +140,8 @@ def test_row_ops_solver_path_matches_conv():
     # actually iterate through the kernel and agree with the conv CG
     p0 = jnp.full((disc_c.n_pdofs,), data.p_init, disc_c.dtype)
     u0 = jnp.zeros((disc_c.n_udofs,), disc_c.dtype)
-    uc, it_c, _, _ = sc._mechanics_solve(p0, u0)
-    up, it_p, _, _ = sp._mechanics_solve(p0, u0)
+    uc, it_c, _, _, _ = sc._mechanics_solve(p0, u0)
+    up, it_p, _, _, _ = sp._mechanics_solve(p0, u0)
     assert int(it_p) > 0
     np.testing.assert_allclose(np.asarray(up), np.asarray(uc),
                                atol=2e-5 * np.abs(np.asarray(uc)).max())

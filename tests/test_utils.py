@@ -31,6 +31,9 @@ def test_checkpoint_roundtrip(tmp_path):
     st2, t, step = load_checkpoint(path)
     assert t == 123.5 and step == 7
     for a, b in zip(st, st2):
+        if a is None:        # derived caches (u_rows) are not persisted
+            assert b is None
+            continue
         np.testing.assert_allclose(a, b)
 
 
