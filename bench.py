@@ -164,9 +164,72 @@ def _op_models(data, disc):
     }
 
 
+def _time_chained(f, x, reps=30, same_shape=None):
+    """Device ms per application of ``f``, measured as an in-jit
+    ``fori_loop`` chain of ``reps`` applications — per-call host dispatch
+    (a ~0.9 ms floor on the remote-TPU tunnel, round-2 artifact: even
+    `mass_apply` 'measured' 0.92 ms) is excluded, and loop-invariant code
+    motion is defeated by threading the data through the loop.
+
+    same-shape ops chain ``x = f(x)`` directly (pure); mismatched-shape
+    ops feed a traced scalar from the output back into the input — XLA
+    cannot fold it because its value (0) is a runtime input.
+    """
+    import jax
+    import jax.numpy as jnp
+    if same_shape is None:
+        same_shape = jax.eval_shape(f, x).shape == x.shape
+
+    if same_shape:
+        @jax.jit
+        def run(x0):
+            def body(i, xx):
+                y = f(xx)
+                # rescale each round so a non-unit-spectral-radius operator
+                # neither overflows nor underflows across the chain
+                return y * jax.lax.rsqrt(
+                    jnp.mean(jnp.square(y)) + jnp.asarray(1e-30, y.dtype))
+            return jax.lax.fori_loop(0, reps, body, x0)
+    else:
+        @jax.jit
+        def run(x0):
+            eps = jnp.zeros((), x0.dtype)   # runtime zero, unfoldable
+
+            def body(i, s):
+                y = f(x0 + eps * s)
+                return y.ravel()[0]
+            return x0 + jax.lax.fori_loop(0, reps, body,
+                                          jnp.zeros((), x0.dtype))
+    y = run(x)
+    jax.block_until_ready(y)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(x))
+        best = min(best, time.perf_counter() - t0)
+    return best / reps * 1e3
+
+
+def _dispatch_floor_ms(reps=30):
+    """Per-call host->device dispatch floor (a trivial jitted op timed the
+    round-2 way: separate dispatches), reported so per-op device times and
+    the step's dispatch overhead stay distinguishable."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    jax.block_until_ready(f(x))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = f(x)
+    jax.block_until_ready(y)
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
 def breakdown(data, disc, solver, quiet=False):
-    """Per-operator timings + achieved GB/s / GFLOP/s vs chip peak at bench
-    scale.  Returns the utilization dict included in the bench JSON."""
+    """Per-operator DEVICE timings (in-jit chained — see _time_chained) +
+    achieved GB/s / GFLOP/s vs chip peak at bench scale.  Returns the
+    utilization dict included in the bench JSON."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -189,6 +252,12 @@ def breakdown(data, disc, solver, quiet=False):
     if ro is not None:
         R = ro.to_rows(u)
         fns["elasticity_apply_rows"] = (ro.apply_rows, R)
+        fns["mech_cg_iteration"] = (       # what the solver actually loops:
+            lambda x: ro.constrained_apply(x), R)   # masked kernel apply
+        if ro.coupling_rows is not None:   # production in-step RHS forms
+            fns["coupling_rhs_rows"] = (ro.coupling_rows, p)
+        if ro.projection_rows is not None:
+            fns["projection_rhs_rows"] = (ro.projection_rows, R)
     pre = solver._pressure_precond(dt)
     if pre is not None:
         fns["pressure_vcycle"] = (pre, p)
@@ -197,17 +266,19 @@ def breakdown(data, disc, solver, quiet=False):
         rb = int(np.prod(R.shape)) * 4
         models["elasticity_apply_rows"] = (2 * rb,
                                            models["elasticity_apply"][1])
-    util = {}
+        models["mech_cg_iteration"] = models["elasticity_apply_rows"]
+        models["coupling_rhs_rows"] = (p.size * 4 + rb,
+                                       models["coupling_rhs"][1])
+        models["projection_rhs_rows"] = (
+            rb + models["strain_projection_rhs"][0] - disc.n_udofs * 4,
+            models["strain_projection_rhs"][1])
+    util = {"dispatch_floor_ms": round(_dispatch_floor_ms(), 3)}
+    if not quiet:
+        print(f"# dispatch floor {util['dispatch_floor_ms']:.3f} ms/call "
+              "(excluded below: ops timed as in-jit chains)",
+              file=sys.stderr)
     for name, (f, x) in fns.items():
-        jf = jax.jit(f)
-        y = jf(x)
-        jax.block_until_ready(y)
-        reps = 30
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            y = jf(x)
-        jax.block_until_ready(y)
-        ms = (time.perf_counter() - t0) / reps * 1e3
+        ms = _time_chained(f, x)
         line = f"# {name:26s} {ms:8.3f} ms"
         if name in models:
             nbytes, flops = models[name]
@@ -223,6 +294,8 @@ def breakdown(data, disc, solver, quiet=False):
             }
             line += (f"  {gbps:7.1f} GB/s ({util[name]['pct_hbm_peak']:5.1f}%"
                      f" HBM)  {tflops:6.2f} TF/s")
+        else:
+            util[name] = {"ms": round(ms, 3)}
         if not quiet:
             print(line, file=sys.stderr)
     return util
@@ -276,7 +349,13 @@ def main():
             if base.get("cpu_ms_per_step_evolving"):
                 vs_baseline_ev = base["cpu_ms_per_step_evolving"] / ms_ev
     print(json.dumps({
-        "metric": "wall_clock_per_fss_timestep_1.66M_dof_3d",
+        # 'value' is the CHAINED (async-dispatched) ms/step — the metric
+        # name says so explicitly since round 3 (advisor round 2: the
+        # round-1 -> round-2 value silently changed semantics).  The synced
+        # per-step number is recorded alongside, and the CPU baseline is
+        # measured with the same chained semantics (measure() returns the
+        # chained mean first in both paths).
+        "metric": "chained_wall_clock_per_fss_timestep_1.66M_dof_3d",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,

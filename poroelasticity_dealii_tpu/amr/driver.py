@@ -169,4 +169,9 @@ class AMRSimulationRunner:
                         os.path.join(data.checkpoint_directory,
                                      f"ckpt-{step:06d}.npz"),
                         state, t, step, forest=self.forest)
+        if data.checkpoint_format == "orbax":
+            # async saves must be durable before the process may exit
+            # (same contract as SimulationRunner.run)
+            from ..utils.checkpoint import wait_for_checkpoints
+            wait_for_checkpoints()
         return state, history

@@ -84,18 +84,25 @@ class SimulationRunner:
             self.output(state, 0)
 
         dt = data.time_step
+        # 'TPU / Sync every = N' trades observability for throughput: the
+        # host dispatches N steps before blocking, so (a) divergence is
+        # detected up to N steps late, and (b) up to N full States stay
+        # live on device until the flush (~11 MB each at 1.66M DOF f32) —
+        # except that States no output/VTK/checkpoint will read are dropped
+        # immediately (only their scalar stats are buffered).
         sync_every = max(1, getattr(data, "sync_every", 1))
-        pending = []   # (step, t, stats, state, wall_s) awaiting host sync
+        pending = []   # (step, t, stats, state|None, wall_s) awaiting sync
 
-        def flush():
+        def flush(last_state):
             """Sync point: read stats, log, write VTK/checkpoints, check
             for divergence — for every buffered step."""
             if not pending:
                 return
-            pending[-1][3].p.block_until_ready()
+            last_state.p.block_until_ready()
             for (s, ts, stats, st, wall) in pending:
                 self.logger.log_step(s, ts, stats, wall)
-                self.output(st, s)
+                if st is not None:
+                    self.output(st, s)
                 if data.checkpoint_every and s % data.checkpoint_every == 0:
                     if data.checkpoint_format == "orbax":
                         save_checkpoint_orbax(
@@ -131,10 +138,13 @@ class SimulationRunner:
                 # default: block per step so wall times are per-step exact
                 state.p.block_until_ready()
             wall = time.perf_counter() - t0
-            pending.append((step, t, stats, state, wall))
+            needed = (data.output_vtk
+                      or (data.checkpoint_every
+                          and step % data.checkpoint_every == 0))
+            pending.append((step, t, stats, state if needed else None, wall))
             if step % sync_every == 0:
-                flush()
-        flush()
+                flush(state)
+        flush(state)
         if data.checkpoint_format == "orbax":
             wait_for_checkpoints()   # async saves must be durable on exit
         self.logger.close()

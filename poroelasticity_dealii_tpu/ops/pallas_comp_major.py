@@ -44,7 +44,9 @@ mechanics apply on TPU: the round-1 profiling showed the kernel itself at
   (fss._mechanics_solve).
 
 Measured on v5e at 40^3 (1.66M DOF), f32: rows->rows apply 0.55-0.9 ms
-(tc=10) vs the conv-stencil path's 6.9 ms — 7-12x; rel err 2.3e-7.
+(tc=10, host-chained calls — see docs/VALIDATION.md "Blessed kernel
+timings" for the in-step ~0.2-0.3 ms and what each mode measures) vs the
+conv-stencil path's 6.9 ms — 7-12x; rel err 2.3e-7.
 Remaining headroom (speed-of-light ~40 us = 17 MB HBM + 0.86 GFLOP): the
 per-layer VMEM shuffle (4 shift-group concats + 27 scatter RMWs) — see
 docs/ROADMAP.md.
@@ -232,8 +234,8 @@ def make_reference_apply(element_matrix: np.ndarray, n: int,
 # Pallas kernel v2: carry-based overlap (no host stitch), double-buffered DMA
 # ---------------------------------------------------------------------------
 
-def _kernel_v2(rows_hbm, ke_ref, mask_ref, out_ref, scratch, carry, sem, *,
-               n: int, tc: int, W: int, n_blocks: int):
+def _kernel_v2(nv_ref, rows_hbm, ke_ref, mask_ref, out_ref, scratch, carry,
+               sem, *, n: int, tc: int, W: int, n_blocks: int):
     """Grid = n_blocks + 1 sequential steps.
 
     Block k < n_blocks processes cell layers [k*tc, k*tc + tc) and emits
@@ -245,6 +247,14 @@ def _kernel_v2(rows_hbm, ke_ref, mask_ref, out_ref, scratch, carry, sem, *,
 
     Input slabs are double-buffered: block k starts the DMA for slab k+1
     before computing on slab k (guide pattern: overlap DMA with compute).
+
+    ``nv_ref`` (SMEM, shape (1,)): the number of REAL cell layers — layers
+    at global index >= nv contribute nothing (their input rows may hold
+    real neighbour data in the sharded z-slab form, so masking the output
+    is required, not optional).  Single-chip callers pass nv = n; the
+    z-slab ``shard_map`` form passes each device's local count (a runtime
+    value derived from ``lax.axis_index``, which is why this is an SMEM
+    operand and not a Python static).
     """
     k = pl.program_id(0)
     # NOTE: int32 bitwise-and, not `% 2` — under jax_enable_x64 the mod
@@ -299,7 +309,7 @@ def _kernel_v2(rows_hbm, ke_ref, mask_ref, out_ref, scratch, carry, sem, *,
                                precision=jax.lax.Precision.HIGHEST)
                 ye = part if ye is None else ye + part
             ye = ye * m[:, :Lc]                         # phantom columns
-            valid = (k * tc + zr < n).astype(out_ref.dtype)
+            valid = (k * tc + zr < nv_ref[0]).astype(out_ref.dtype)
             ye = ye * valid                             # phantom layers
             # scatter: same interval plan (ye rows are in plan order)
             row = 0
@@ -321,20 +331,31 @@ def _kernel_v2(rows_hbm, ke_ref, mask_ref, out_ref, scratch, carry, sem, *,
 
 def make_pallas_apply_rows(element_matrix: np.ndarray, n: int,
                            dtype=jnp.float32, tc: int = 4,
-                           interpret: bool = False):
-    """Row-layout elasticity apply ``R -> Y`` (both ``((n+1)*24, W)``).
+                           interpret: bool = False, nz: int = None):
+    """Row-layout elasticity apply ``R -> Y`` (both ``((nz+1)*24, W)``).
 
     The production form: no layout conversions — callers keep DOF vectors
     in the comp-major row layout (dots/axpys/masks are layout-agnostic,
     see :func:`to_rows`).  Padding lanes/rows of the input must be zero;
-    the output preserves that invariant (phantom contributions masked)."""
+    the output preserves that invariant (phantom contributions masked).
+
+    ``nz`` (default ``n``): number of cell LAYERS the kernel sweeps — the
+    z-slab ``shard_map`` form (parallel/rows.py) passes each device's
+    local slab depth while ``n`` keeps fixing the transverse lane
+    geometry.  The returned ``apply_rows(R, nv=None)`` takes an optional
+    runtime count of real cell layers (int32 scalar, <= nz); layers past
+    it are masked out (their input rows can hold live neighbour-halo
+    data, so this is a correctness mask, not padding hygiene)."""
+    if nz is None:
+        nz = n
     W = _width(n)
     _, perm = _interval_plan(n)
     Kp = np.asarray(element_matrix)[np.ix_(perm, perm)]  # rows AND cols
     Ke = jnp.asarray(Kp, dtype)
     mask_row = cell_lane_mask(n, dtype)
     mask = jnp.zeros((1, W), dtype).at[0, :mask_row.shape[0]].set(mask_row)
-    n_blocks = math.ceil(n / tc)
+    tc = min(tc, nz)
+    n_blocks = math.ceil(nz / tc)
     zh_pad = n_blocks * tc + 1                          # input z-half layers
     kern = partial(_kernel_v2, n=n, tc=tc, W=W, n_blocks=n_blocks)
 
@@ -344,12 +365,17 @@ def make_pallas_apply_rows(element_matrix: np.ndarray, n: int,
     outmap = lambda k: (k, jnp.int32(0))                   # noqa: E731
 
     @jax.jit
-    def apply_rows(R):
-        R = jnp.pad(R, ((0, (zh_pad - (n + 1)) * 24), (0, 0)))
+    def apply_rows(R, nv=None):
+        if nv is None:
+            nv = jnp.full((1,), nz, jnp.int32)
+        else:
+            nv = jnp.asarray(nv, jnp.int32).reshape(1)
+        R = jnp.pad(R, ((0, (zh_pad - (nz + 1)) * 24), (0, 0)))
         out = pl.pallas_call(
             kern,
             grid=(n_blocks + 1,),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((81, 81), zero2, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, W), zero2, memory_space=pltpu.VMEM),
@@ -364,8 +390,8 @@ def make_pallas_apply_rows(element_matrix: np.ndarray, n: int,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
-        )(R, Ke, mask)
-        return out[:(n + 1) * 24]
+        )(nv, R, Ke, mask)
+        return out[:(nz + 1) * 24]
 
     return apply_rows
 
@@ -429,6 +455,58 @@ def make_coupling_rows(coupling_matrix: np.ndarray, n: int,
     return coupling_rows
 
 
+def make_projection_rows(projection_matrix: np.ndarray, n: int,
+                         dtype=jnp.float32):
+    """Strain-projection RHS assembled DIRECTLY from the comp-major row
+    layout: ``u rows ((n+1)*24, W) -> (C, n_pdofs)`` (Q1 grid flat).
+
+    The mixed-degree mirror of :func:`make_coupling_rows`: per (Q2 local
+    node, comp) the operand row for all cells of cell-layer ``iz`` is the
+    lane-shifted slice of row ``(iz+dz)*24 + base + c`` — over all layers
+    that is ONE stride-24 row slice of R, so the whole (81, n^3-ish)
+    operand is 81 strided 2-D slices, one (48, n*Lc) MXU matmul, and
+    8 pad+adds into the Q1 grid.  Replaces the tiny-channel Q2 conv
+    stencil (~4 ms at 40^3) AND the from_rows conversion it needed
+    (the row layout never leaves the chip during FSS iterations).
+    ``projection_matrix``: (Np*C, 81) element matrix, rows (i_p*C + c)
+    with c over VOIGT_PAIRS, cols (node*3 + comp) lex x-fastest
+    (structured._projection_element_matrix).
+    """
+    Pe = jnp.asarray(projection_matrix, dtype)           # (Np*C, 81)
+    Np_C = Pe.shape[0]
+    g1 = n + 1
+    Lc = n * (n + 1)
+    params = _slice_params(n)
+    mask = cell_lane_mask(n, dtype)                      # (Lc,)
+    lat_p = node_lattice(1, 3)                           # (8, 3)
+    C = Np_C // 8
+
+    def projection_rows(R):
+        R = R[:(n + 1) * 24]
+        ops_rows = []
+        for (dz, base, shift) in params:
+            for c in range(3):
+                r0 = dz * 24 + base + c
+                sl = R[r0:r0 + 24 * n:24, shift:shift + Lc]   # (n, Lc)
+                ops_rows.append(sl.reshape(-1))
+        U = jnp.stack(ops_rows)                          # (81, n*Lc)
+        Ye = jnp.dot(Pe, U, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+        Ye = Ye * jnp.tile(mask, n)[None, :]             # phantom lanes
+        # rows (i_p*C + c) -> (8, C, z, y, x) cell grid (drop phantom x)
+        Yc = Ye.reshape(8, C, n, n, n + 1)[..., :n]
+        acc = None
+        for i_p in range(8):
+            ox, oy, oz = (int(lat_p[i_p, 0]), int(lat_p[i_p, 1]),
+                          int(lat_p[i_p, 2]))
+            pw = ((0, 0), (oz, 1 - oz), (oy, 1 - oy), (ox, 1 - ox))
+            Pd = jnp.pad(Yc[i_p], pw)                    # (C, g1, g1, g1)
+            acc = Pd if acc is None else acc + Pd
+        return acc.reshape(C, g1 * g1 * g1)
+
+    return projection_rows
+
+
 @dataclasses.dataclass(frozen=True)
 class ElasticityRowOps:
     """The comp-major row layout as a persistent DOF-vector format.
@@ -447,6 +525,7 @@ class ElasticityRowOps:
     free_mask_rows: jnp.ndarray  # Dirichlet mask in rows (padding = 0)
     diag_rows: jnp.ndarray       # Jacobi diagonal in rows (padding = 1)
     coupling_rows: object = None  # p -> coupling RHS directly in rows
+    projection_rows: object = None  # u rows -> (C, n_pdofs) strain RHS
 
     def constrained_apply(self, x):
         """Free-subspace restriction, same semantics as
@@ -459,7 +538,8 @@ class ElasticityRowOps:
 def make_row_ops(element_matrix: np.ndarray, n: int, free_mask_u,
                  diag_elasticity, dtype=jnp.float32, tc: int = None,
                  interpret: bool = False,
-                 coupling_matrix: np.ndarray = None) -> ElasticityRowOps:
+                 coupling_matrix: np.ndarray = None,
+                 projection_matrix: np.ndarray = None) -> ElasticityRowOps:
     """Build the persistent-row-layout elasticity solve kit for a 3D
     structured Q2 grid (``n`` cells per axis)."""
     if tc is None:
@@ -473,9 +553,12 @@ def make_row_ops(element_matrix: np.ndarray, n: int, free_mask_u,
     diag_rows = t(jnp.asarray(diag_elasticity, dtype)) + (1.0 - ones_rows)
     cr = (make_coupling_rows(coupling_matrix, n, dtype)
           if coupling_matrix is not None else None)
+    pr = (make_projection_rows(projection_matrix, n, dtype)
+          if projection_matrix is not None else None)
     return ElasticityRowOps(n=n, apply_rows=apply_rows, to_rows=t,
                             from_rows=f, free_mask_rows=mask_rows,
-                            diag_rows=diag_rows, coupling_rows=cr)
+                            diag_rows=diag_rows, coupling_rows=cr,
+                            projection_rows=pr)
 
 
 # ---------------------------------------------------------------------------

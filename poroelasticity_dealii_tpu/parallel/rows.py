@@ -1,0 +1,194 @@
+"""Multi-chip form of the PRODUCTION solver configuration.
+
+Round-2 gap (VERDICT): the flagship single-chip path — Pallas row-layout
+mechanics CG + slice-stencil/fused-Jacobian pressure — could not shard;
+every multi-chip path ran slower operator backends.  This module closes it
+with a **z-slab domain decomposition of the comp-major row layout**
+(`ops/pallas_comp_major.py`):
+
+* the row layout is z-half-major, so a z-slab of the displacement grid IS
+  a contiguous row range — each device owns ``Lz = ceil((n+1)/n_dev)``
+  z-half layers (``Lz*24`` rows) of every row-layout vector, and the whole
+  mechanics CG (dots/axpys/masks) runs on those sharded arrays unchanged;
+* one elasticity apply needs exactly ONE 24-row halo band from the z+
+  neighbour (the same z-half-layer overlap the kernel already manages
+  across its sequential grid steps as the ``carry`` scratch) and returns
+  ONE 24-row contribution band — two ``ppermute``s per apply, each moving
+  ``24*W`` values, independent of the slab depth (interface-scaled);
+* inside ``jax.shard_map`` each device runs the unmodified Pallas kernel
+  on its local slab (``make_pallas_apply_rows(nz=Lz)``), with the count of
+  real cell layers passed at runtime (``lax.axis_index``-derived — tail
+  devices own padding layers);
+* the pressure side reuses the conv/slice-stencil operators under a GSPMD
+  slab sharding constraint (XLA inserts the conv halo exchanges), exactly
+  like :func:`..parallel.sharding.shard_grid_discretization`, but WITHOUT
+  dropping ``row_ops``.
+
+The reference is fully serial (SURVEY §2 parallelism paragraph); this is
+the BASELINE.json configs[4] obligation ("elements sharded over GSPMD
+mesh, ICI halo exchange") applied to the production backend.
+
+Shape contract: sharded row-layout vectors are padded from ``(n+1)*24``
+to ``n_dev*Lz*24`` rows.  Padding rows carry ``free_mask = 0`` and
+``diag = 1``, so the existing ``fss._mechanics_solve`` treats them as
+constrained DOFs with zero boundary value — they stay exactly zero
+through every CG iteration with no special-casing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .sharding import CELL_AXIS
+from ..ops.pallas_comp_major import (ElasticityRowOps, default_tc, from_rows,
+                                     make_coupling_rows,
+                                     make_pallas_apply_rows,
+                                     make_projection_rows, to_rows, _width)
+
+
+def slab_layers(n: int, n_dev: int) -> int:
+    """Z-half layers owned per device (the grid has n+1 of them)."""
+    return math.ceil((n + 1) / n_dev)
+
+
+def make_row_ops_sharded(element_matrix: np.ndarray, n: int, free_mask_u,
+                         diag_elasticity, device_mesh, dtype=jnp.float32,
+                         tc: int = None, interpret: bool = False,
+                         coupling_matrix: np.ndarray = None,
+                         projection_matrix: np.ndarray = None
+                         ) -> ElasticityRowOps:
+    """Z-slab-sharded :class:`ElasticityRowOps` over ``device_mesh``.
+
+    Every returned array/function works on the PADDED row shape
+    ``(n_dev*Lz*24, W)``, sharded ``P('cells', None)``.
+    """
+    n_dev = device_mesh.devices.size
+    Lz = slab_layers(n, n_dev)
+    n_rows = n_dev * Lz * 24
+    pad = n_rows - (n + 1) * 24
+    W = _width(n)
+    if tc is None:
+        tc = min(default_tc(n, dtype), Lz)
+    kernel = make_pallas_apply_rows(element_matrix, n, dtype, tc=tc,
+                                    interpret=interpret, nz=Lz)
+    spec = NamedSharding(device_mesh, P(CELL_AXIS, None))
+    rep = NamedSharding(device_mesh, P())
+
+    def shard(R):
+        return lax.with_sharding_constraint(R, spec)
+
+    def pad_rows(R):
+        return shard(jnp.pad(R, ((0, pad), (0, 0))))
+
+    t = jax.jit(lambda x: pad_rows(to_rows(x, n)))
+    f = jax.jit(lambda R: from_rows(R[:(n + 1) * 24], n))
+
+    def _local_apply(x_loc):
+        """Per-device slab apply: ((Lz*24, W)) -> same, with one 24-row
+        halo band exchanged each way (the only collectives)."""
+        idx = lax.axis_index(CELL_AXIS)
+        nv = jnp.clip(n - idx * Lz, 0, Lz).astype(jnp.int32)
+        # halo gather: z-half layer (d+1)*Lz lives as the NEXT device's
+        # first 24 rows; the last device gets zeros (never referenced —
+        # its layers past n are masked by nv)
+        fwd = [(d + 1, d) for d in range(n_dev - 1)]
+        halo = lax.ppermute(x_loc[:24], CELL_AXIS, fwd)
+        y = kernel(jnp.concatenate([x_loc, halo], axis=0), nv)
+        # halo return: my contribution to the neighbour's first z-half
+        # layer goes forward; device 0 receives zeros
+        bwd = [(d, d + 1) for d in range(n_dev - 1)]
+        ret = lax.ppermute(y[Lz * 24:], CELL_AXIS, bwd)
+        return y[:Lz * 24].at[:24].add(ret)
+
+    # check_vma=False: the pallas_call inside can't annotate its output's
+    # varying-across-mesh axes (jax.ShapeDtypeStruct has no vma here)
+    smapped = jax.shard_map(_local_apply, mesh=device_mesh,
+                            in_specs=P(CELL_AXIS, None),
+                            out_specs=P(CELL_AXIS, None),
+                            check_vma=False)
+    apply_rows = jax.jit(lambda R: smapped(shard(R)))
+
+    ones = jnp.ones_like(jnp.asarray(diag_elasticity, dtype))
+    mask_rows = jax.device_put(t(jnp.asarray(free_mask_u, dtype)), spec)
+    diag_rows = jax.device_put(
+        t(jnp.asarray(diag_elasticity, dtype)) + (1.0 - t(ones)), spec)
+
+    cr = None
+    if coupling_matrix is not None:
+        base_cr = make_coupling_rows(coupling_matrix, n, dtype)
+        cr = jax.jit(lambda p: pad_rows(base_cr(p)))
+    pr = None
+    if projection_matrix is not None:
+        # make_projection_rows slices R[:(n+1)*24] itself, so the padded
+        # sharded shape feeds straight in
+        pr = make_projection_rows(projection_matrix, n, dtype)
+
+    return ElasticityRowOps(n=n, apply_rows=apply_rows, to_rows=t,
+                            from_rows=f, free_mask_rows=mask_rows,
+                            diag_rows=diag_rows, coupling_rows=cr,
+                            projection_rows=pr)
+
+
+def shard_production_discretization(disc, device_mesh):
+    """Shard the production ConvGridDiscretization: GSPMD slab constraint
+    on the conv/slice stencils (as :func:`.sharding.shard_grid_discretization`)
+    PLUS z-slab shard_map row ops for the Pallas mechanics path.
+
+    Requires the row-ops-eligible configuration (3D Q2 equal-axis grid with
+    ``row_ops`` built).
+    """
+    from ..solvers.structured import ConvGridDiscretization
+
+    if not isinstance(disc, ConvGridDiscretization):
+        raise TypeError("production sharding requires the conv backend")
+    if disc.row_ops is None:
+        raise ValueError(
+            "production sharding needs row_ops (3D Q2 equal-axis grid with "
+            "elasticity_backend='pallas' or TPU auto)")
+    dim = disc.dim
+    spec = NamedSharding(device_mesh, P(CELL_AXIS, *([None] * dim)))
+
+    def wrap(fn, gs, n_comp):
+        shape = tuple(reversed(gs)) + (n_comp,)     # (z, y, x, comp)
+
+        def inner(x, *a):
+            X = x.reshape(shape)
+            X = lax.with_sharding_constraint(X, spec)
+            return fn(X.reshape(-1), *a)
+        return inner
+
+    gp = disc.info_p.nodes_per_axis
+    gu = disc.info_u.nodes_per_axis
+    interpret = jax.default_backend() != "tpu"
+    n = disc.info_u.cells_per_axis[0]
+    row_ops = make_row_ops_sharded(
+        disc.element_ke, n, disc.free_mask_u, disc.diag_elasticity,
+        device_mesh, dtype=disc.dtype, interpret=interpret,
+        coupling_matrix=disc.element_ce,
+        projection_matrix=disc.element_pe)
+
+    def wrap_proj(fn):
+        def inner(u):
+            X = u.reshape(tuple(reversed(gu)) + (dim,))
+            X = lax.with_sharding_constraint(X, spec)
+            return fn(X.reshape(-1))
+        return inner
+
+    return dataclasses.replace(
+        disc,
+        stencil_mass=wrap(disc.stencil_mass, gp, 1),
+        stencil_laplace=wrap(disc.stencil_laplace, gp, 1),
+        stencil_elasticity=wrap(disc.stencil_elasticity, gu, dim),
+        stencil_coupling=wrap(disc.stencil_coupling, gp, 1),
+        stencil_projection=wrap_proj(disc.stencil_projection),
+        wrap_pressure_stencil=lambda st: wrap(st, gp, 1),
+        row_ops=row_ops,
+    )

@@ -112,8 +112,11 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
 
     init = (jnp.int32(0), x0, r0, r0, z0, rz0, rnorm0)
     k, x, r, r_prev, p, rz, rnorm = lax.while_loop(cond, body, init)
+    # stalled is an explicit traced bool so cg_solve and richardson_solve
+    # results share one pytree structure (a Python-bool leaf here would
+    # break lax.cond/while carries that mix the two solvers)
     return CGResult(x=x, iterations=k, residual_norm=rnorm,
-                    converged=rnorm <= tol)
+                    converged=rnorm <= tol, stalled=jnp.bool_(False))
 
 
 def richardson_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,

@@ -63,6 +63,14 @@ class StepStats(NamedTuple):
     #                                    floor) rather than the iteration cap
 
 
+def _rows_ready(ro) -> bool:
+    """True when the full row-residency path is available: Pallas apply +
+    rows-direct coupling AND projection RHS (one source of truth for the
+    trace-time branch in _mechanics_solve and _time_step_impl)."""
+    return (ro is not None and ro.coupling_rows is not None
+            and ro.projection_rows is not None)
+
+
 class State(NamedTuple):
     """Minimal restart state (what the reference's SolutionTransfer carries
     across mesh changes, PoroelasticityFSS.h:474-497, plus u and strains)."""
@@ -203,8 +211,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             Le = dense.laplace_element_matrices(sp1)[0]
             J = Me / (data.m_modulus * dt) + (data.perm / data.visc) * Le
             kp = d.info_p.degree
-            cache[dt] = make_stencil_apply(J, kp, kp, 1, 1, d.dim, n,
-                                           d.dtype)
+            st = make_stencil_apply(J, kp, kp, 1, 1, d.dim, n, d.dtype)
+            wrap = getattr(d, "wrap_pressure_stencil", None)
+            if wrap is not None:    # sharded path: GSPMD slab constraint
+                st = wrap(st)
+            cache[dt] = st
         return cache[dt]
 
     def _pressure_jacobian_diag(self, dt):
@@ -226,7 +237,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         recompiling."""
         d, data = self.disc, self.data
         row_ops = getattr(d, "row_ops", None)
-        if row_ops is not None and row_ops.coupling_rows is not None:
+        if _rows_ready(row_ops):
             # fully-in-rows RHS assembly (conforming structured grid: the
             # hanging-node maps are empty): coupling scatters straight into
             # the row layout and b_mod never exists flat — saves the Q2
@@ -246,7 +257,10 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             res = cg_solve(row_ops.constrained_apply, b_rows, x0_rows,
                            row_ops.diag_rows, tol=tol,
                            max_iter=data.cg_max_iterations)
-            return (row_ops.from_rows(res.x), res.iterations, res.converged,
+            # u stays in rows — NO from_rows here: the projection RHS also
+            # reads rows (projection_rows), so the flat layout is
+            # materialized exactly once per step, at the State boundary
+            return (None, res.iterations, res.converged,
                     jnp.asarray(res.stalled), res.x)
         rhs = d._hcu.condense_vec(
             d.coupling_rhs(p, data.biot_coef) + d.f_neumann)
@@ -290,11 +304,20 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
     # ---------------- strain projection -------------------------------------
 
-    def _project(self, u, entries, warm):
+    def _project(self, u, entries, warm, u_rows=None):
         """L2-project selected Voigt strain components onto pressure space:
-        one batched multi-RHS mass-matrix CG (StrainProjector.h:109-232)."""
+        one batched multi-RHS mass-matrix CG (StrainProjector.h:109-232).
+
+        When ``u_rows`` is given (production rows path), the RHS assembles
+        directly from the comp-major row layout — the flat ``u`` is not
+        touched (may be None)."""
         d = self.disc
-        rhs_all = d.strain_projection_rhs(u)          # (n_voigt, n_pdofs)
+        ro = getattr(d, "row_ops", None)
+        if u_rows is not None and ro is not None \
+                and ro.projection_rows is not None:
+            rhs_all = ro.projection_rows(u_rows)      # (n_voigt, n_pdofs)
+        else:
+            rhs_all = d.strain_projection_rhs(u)      # (n_voigt, n_pdofs)
         rhs = rhs_all[jnp.asarray(entries)]
         rhs = jax.vmap(d._hcp.condense_vec)(rhs)
         tol = self.data.projection_cg_tol * jnp.linalg.norm(rhs, axis=1)
@@ -326,9 +349,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         n_voigt = len(VOIGT_PAIRS[dim])
         p = p0 * d.free_mask_p + d.dirichlet_values_p * (1.0 - d.free_mask_p)
         u, _, _, _, u_rows = self._mechanics_solve(p, u0, bc_scale)
+        if u is None:                      # rows path: one boundary convert
+            u = d.row_ops.from_rows(u_rows)
         vol = VOLUMETRIC_ENTRIES[dim]
         warm = jnp.zeros((len(vol), d.n_pdofs), d.dtype)
-        vol_strains, _, _ = self._project(u, vol, warm)
+        vol_strains, _, _ = self._project(u, vol, warm, u_rows=u_rows)
         strains = jnp.zeros((n_voigt, d.n_pdofs), d.dtype)
         strains = strains.at[jnp.asarray(vol)].set(vol_strains)
         eps_v = jnp.sum(vol_strains, axis=0)
@@ -383,7 +408,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         d, data = self.disc, self.data
         b = d.free_mask_u * (-self._elasticity_lift) \
             + (1.0 - d.free_mask_u) * d.dirichlet_values
-        tol = 1e-8 * jnp.linalg.norm(b)
+        # the response only seeds a warm start, so a few digits suffice;
+        # 1e-8 relative sits below the f32 attainable floor of Jacobi-CG at
+        # bench scale and would spin to max_iter (advisor round 2)
+        rel = 1e-8 if d.dtype == jnp.float64 else 2e-6
+        tol = rel * jnp.linalg.norm(b)
         row_ops = getattr(d, "row_ops", None)
         if row_ops is not None:
             res = cg_solve(row_ops.constrained_apply, row_ops.to_rows(b),
@@ -462,19 +491,22 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             return (it < max_fss) & (c["err"] > data.fss_tol)
 
         # row-layout warm-start cache is threaded through the carry when
-        # the rows mechanics path is active (trace-time static decision)
+        # the rows mechanics path is active (trace-time static decision);
+        # full residency (u only in rows through the loop) additionally
+        # needs the rows-direct projection RHS
         ro = getattr(d, "row_ops", None)
-        rows_active = ro is not None and ro.coupling_rows is not None
+        rows_active = _rows_ready(ro)
 
         def fss_body(c):
             delta_p = jnp.zeros_like(c["p"])  # reset per FSS iteration (:356)
             p, eps_v, delta_p, err_p, n_press, cg_p, ok_p = pressure_inner(
                 c["p"], c["eps_v"], delta_p)
             u, cg_u, ok_u, st_u, u_rows = self._mechanics_solve(
-                p, c["u"], bc_scale,
+                p, c.get("u"), bc_scale,
                 u_warm_rows=c.get("u_rows") if rows_active else None)
             vol_strains, cg_proj, ok_pr = self._project(
-                u, vol, c["vol_strains"])
+                u, vol, c["vol_strains"],
+                u_rows=u_rows if rows_active else None)
             if resync:
                 # textbook fixed-stress correction: eps_v follows the
                 # projected mechanical strain (the line the reference left
@@ -484,7 +516,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             err = jnp.linalg.norm(r)
             it = c["fss_iter"]
             out = dict(
-                p=p, u=u, eps_v=eps_v, vol_strains=vol_strains,
+                p=p, eps_v=eps_v, vol_strains=vol_strains,
                 err=err, fss_iter=it + 1,
                 press_total=c["press_total"] + n_press,
                 cg_p=c["cg_p"] + cg_p, cg_u=c["cg_u"] + cg_u,
@@ -494,11 +526,15 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 cg_stall=c["cg_stall"] | st_u,
             )
             if rows_active:
+                # u lives ONLY in rows through the FSS loop (flat layout
+                # materialized once per step, after convergence)
                 out["u_rows"] = u_rows
+            else:
+                out["u"] = u
             return out
 
         carry = dict(
-            p=state.p, u=state.u, eps_v=state.eps_v,
+            p=state.p, eps_v=state.eps_v,
             vol_strains=state.strains[jnp.asarray(vol)],
             err=jnp.asarray(2.0 * data.pressure_tol, d.dtype),  # :345
             fss_iter=jnp.int32(0),
@@ -511,6 +547,8 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         if rows_active:
             carry["u_rows"] = (state.u_rows if state.u_rows is not None
                                else ro.to_rows(state.u))
+        else:
+            carry["u"] = state.u
         c = jax.lax.while_loop(fss_cond, fss_body, carry)
 
         # shear strains once per step after FSS convergence (:409)
@@ -519,16 +557,18 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         cg_ok = c["cg_ok"]
         if shear:
             shear_strains, cg_sh, ok_sh = self._project(
-                c["u"], shear, state.strains[jnp.asarray(shear)])
+                c.get("u"), shear, state.strains[jnp.asarray(shear)],
+                u_rows=c.get("u_rows") if rows_active else None)
             strains = strains.at[jnp.asarray(shear)].set(shear_strains)
             cg_proj = cg_proj + cg_sh
             cg_ok = cg_ok & ok_sh
 
+        u_final = (ro.from_rows(c["u_rows"]) if rows_active else c["u"])
         # keep the stored eps_v0 = the t=0 strain in BOTH modes (in resync
         # mode the per-step reference strain is the local eps_v0 variable;
         # the State field must not drift — it feeds quirk-mode restarts and
         # checkpoints)
-        new_state = State(p=c["p"], u=c["u"], eps_v=c["eps_v"],
+        new_state = State(p=c["p"], u=u_final, eps_v=c["eps_v"],
                           eps_v0=state.eps_v0, strains=strains,
                           u_rows=c.get("u_rows"))
         stats = StepStats(

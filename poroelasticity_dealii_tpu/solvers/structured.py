@@ -92,6 +92,16 @@ class ConvGridDiscretization(GridDiscretization):
     # CG runs in row layout through the fused kernel instead of the conv
     # stencil (fss._mechanics_solve)
     row_ops: object = None
+    # single-cell element matrices (numpy, f64), kept so the sharded
+    # production path (parallel/rows.py) can rebuild per-device kernels
+    # without re-deriving them
+    element_ke: object = None       # (Nu*dim, Nu*dim) elasticity
+    element_ce: object = None       # (Nu*dim, Np) pressure coupling
+    element_pe: object = None       # (Np*C, Nu*dim) strain-projection
+    # optional hook: wraps stencil applies built AFTER construction (the
+    # per-dt fused pressure Jacobian) — the sharded path uses it to install
+    # its GSPMD sharding constraint on those too
+    wrap_pressure_stencil: object = None
 
     def mass(self, p):
         return self.stencil_mass(p)
@@ -295,7 +305,10 @@ def build_grid_discretization(data: InputData,
     d = ConvGridDiscretization(
         **fields, stencil_mass=st_mass, stencil_laplace=st_lap,
         stencil_elasticity=st_el, stencil_coupling=st_cp,
-        stencil_projection=st_proj)
+        stencil_projection=st_proj,
+        element_ke=np.asarray(Ke, np.float64),
+        element_ce=np.asarray(Ce, np.float64),
+        element_pe=np.asarray(Pe, np.float64))
 
     # ---- Pallas row-layout elasticity (the production mechanics apply) ----
     eb = elasticity_backend or getattr(data, "elasticity_backend", "auto")
@@ -317,7 +330,8 @@ def build_grid_discretization(data: InputData,
                 np.asarray(Ke, np.float64), cells_per_axis[0],
                 d.free_mask_u, d.diag_elasticity, dtype=d.dtype,
                 interpret=not on_tpu,
-                coupling_matrix=np.asarray(Ce, np.float64))
+                coupling_matrix=np.asarray(Ce, np.float64),
+                projection_matrix=np.asarray(Pe, np.float64))
 
     # ---- geometric multigrid for the elasticity solve --------------------
     # (isotropic cell counts only: the V-cycle hierarchy coarsens all axes

@@ -141,7 +141,11 @@ def test_row_ops_solver_path_matches_conv():
     p0 = jnp.full((disc_c.n_pdofs,), data.p_init, disc_c.dtype)
     u0 = jnp.zeros((disc_c.n_udofs,), disc_c.dtype)
     uc, it_c, _, _, _ = sc._mechanics_solve(p0, u0)
-    up, it_p, _, _, _ = sp._mechanics_solve(p0, u0)
+    up, it_p, _, _, up_rows = sp._mechanics_solve(p0, u0)
+    # rows path keeps u resident in the row layout (u=None); the flat
+    # vector materializes only at State boundaries
+    assert up is None
+    up = disc_p.row_ops.from_rows(up_rows)
     assert int(it_p) > 0
     np.testing.assert_allclose(np.asarray(up), np.asarray(uc),
                                atol=2e-5 * np.abs(np.asarray(uc)).max())
@@ -171,6 +175,27 @@ def test_coupling_rows_matches_flat_coupling():
         p = jnp.asarray(rng.standard_normal(disc.n_pdofs), disc.dtype)
         ref = to_rows(disc.coupling_rhs(p, data.biot_coef), n)
         got = ro.coupling_rows(p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-10,
+                                   atol=1e-12 * float(jnp.abs(ref).max()))
+
+
+def test_projection_rows_matches_flat_projection():
+    """make_projection_rows assembles exactly strain_projection_rhs(u) from
+    the row layout — the rows-resident strain-projection path (f64,
+    several grid sizes)."""
+    from poroelasticity_dealii_tpu.ops.pallas_comp_major import to_rows
+    data = read_input_file(DECK)
+    for n in (2, 3, 5):
+        disc = build_grid_discretization(data, cells_per_axis=n,
+                                         multigrid="off",
+                                         elasticity_backend="pallas")
+        ro = disc.row_ops
+        assert ro.projection_rows is not None
+        rng = np.random.default_rng(n)
+        u = jnp.asarray(rng.standard_normal(disc.n_udofs), disc.dtype)
+        ref = disc.strain_projection_rhs(u)          # (C, n_pdofs) conv
+        got = ro.projection_rows(to_rows(u, n))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-10,
                                    atol=1e-12 * float(jnp.abs(ref).max()))
