@@ -25,6 +25,41 @@ def normalize_cells_per_axis(cells_per_axis, dim: int):
     return ns
 
 
+def perturb_interior(mesh, amplitude: float, seed: int = 0):
+    """Randomly displace every INTERIOR vertex by up to ``amplitude`` of
+    the local cell size — distorted-geometry testing (deal.II's
+    ``GridTools::distort_random`` analogue).
+
+    Boundary vertices (on the mesh's bounding box — the generators here
+    produce rectangles) stay fixed so boundary labels/faces keep their
+    geometry.  The per-element bilinear/trilinear Jacobians of the generic
+    discretization (solvers/discretization.py) handle the resulting
+    non-axis-aligned elements; tests/test_distorted.py verifies this at
+    machine precision against patch tests and the dense oracle.
+    """
+    import dataclasses
+    v = np.asarray(mesh.vertices)
+    dim = mesh.dim
+    lo, hi = v.min(axis=0), v.max(axis=0)
+    # local scale: min over cells containing a vertex of the cell diameter
+    corner = v[mesh.cells]
+    h_cell = np.linalg.norm(corner.max(axis=1) - corner.min(axis=1), axis=1)
+    h_vert = np.full(v.shape[0], np.inf)
+    for k in range(mesh.cells.shape[1]):
+        np.minimum.at(h_vert, mesh.cells[:, k], h_cell)
+    tol = 1e-9 * np.linalg.norm(hi - lo)
+    interior = np.ones(v.shape[0], bool)
+    for d in range(dim):
+        interior &= (np.abs(v[:, d] - lo[d]) > tol) \
+            & (np.abs(v[:, d] - hi[d]) > tol)
+    rng = np.random.default_rng(seed)
+    shift = (rng.uniform(-1.0, 1.0, v.shape)
+             * (amplitude * h_vert / np.sqrt(dim))[:, None])
+    v2 = v.copy()
+    v2[interior] += shift[interior]
+    return dataclasses.replace(mesh, vertices=v2)
+
+
 def hyper_rectangle(domain_size, refinement_level: int = None,
                     lower=None, upper=None, cells_per_axis=None) -> Mesh:
     """Structured quad/hex mesh, 2**refinement_level cells per axis, or
