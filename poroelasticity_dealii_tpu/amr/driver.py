@@ -91,17 +91,31 @@ class AMRSimulationRunner:
         self._rebuild()
 
         new_pts = self.disc.pressure_space.node_coords
-        fields = np.stack([np.asarray(state.p), np.asarray(state.eps_v),
-                           np.asarray(state.eps_v0)])
+        n_voigt = len(VOIGT_PAIRS[data.dim])
+        # {p, eps_v, eps_v0} transfer = reference SolutionTransfer parity
+        # (PoroelasticityFSS.h:474-497); strains ride along as CG warm
+        # starts for the first post-remesh projection (all Q1 fields)
+        fields = np.concatenate([
+            np.stack([np.asarray(state.p), np.asarray(state.eps_v),
+                      np.asarray(state.eps_v0)]),
+            np.asarray(state.strains)])
         moved = transfer_nodal(forest_old, mesh_old, fields, new_pts)
         dt = self.disc.dtype
-        n_voigt = len(VOIGT_PAIRS[data.dim])
+        # displacement warm start (the reference re-solves u from scratch,
+        # :474-482; we re-solve too but from the transferred field):
+        # interpolate the old u's VERTEX values (Q2 node ids < n_vertices
+        # by construction, mesh/qk.py) multilinearly at the new Q2 nodes
+        dim = data.dim
+        u_old = np.asarray(state.u).reshape(-1, dim)
+        u_vert = u_old[:mesh_old.n_vertices].T          # (dim, n_vertices)
+        u_new = transfer_nodal(forest_old, mesh_old, u_vert,
+                               self.disc.displacement_space.node_coords)
         return State(
             p=jnp.asarray(moved[0], dt),
-            u=jnp.zeros((self.disc.n_udofs,), dt),
+            u=jnp.asarray(u_new.T.reshape(-1), dt),
             eps_v=jnp.asarray(moved[1], dt),
             eps_v0=jnp.asarray(moved[2], dt),
-            strains=jnp.zeros((n_voigt, self.disc.n_pdofs), dt))
+            strains=jnp.asarray(moved[3:3 + n_voigt], dt))
 
     def _output(self, state: State, step: int):
         if not self.data.output_vtk:

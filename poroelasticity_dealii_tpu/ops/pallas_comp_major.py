@@ -360,7 +360,10 @@ def make_pallas_apply_rows(element_matrix: np.ndarray, n: int,
     kern = partial(_kernel_v2, n=n, tc=tc, W=W, n_blocks=n_blocks)
 
     # index maps return int32 explicitly: under jax_enable_x64 plain Python
-    # ints trace to i64 constants, which Mosaic cannot legalize
+    # ints trace to i64 constants, which Mosaic cannot legalize (this
+    # includes the DEFAULT index map a spec would get — hence zero1 for
+    # the SMEM scalar too)
+    zero1 = lambda k: (jnp.int32(0),)                      # noqa: E731
     zero2 = lambda k: (jnp.int32(0), jnp.int32(0))         # noqa: E731
     outmap = lambda k: (k, jnp.int32(0))                   # noqa: E731
 
@@ -375,7 +378,7 @@ def make_pallas_apply_rows(element_matrix: np.ndarray, n: int,
             kern,
             grid=(n_blocks + 1,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1,), zero1, memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((81, 81), zero2, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, W), zero2, memory_space=pltpu.VMEM),

@@ -206,5 +206,10 @@ def shard_discretization(disc: Discretization,
         diag_laplace=put_rep(disc.diag_laplace),
         diag_elasticity=put_rep(disc.diag_elasticity),
         lam=disc.lam, mu=disc.mu,
+        # hanging-node constraints ride along (replicated index maps), so
+        # AMR meshes shard through the psum path — the solver's
+        # condense/distribute wrappers work unchanged on the replicated
+        # DOF vectors (the ghost path still rejects AMR, ghost.py)
+        hc_p=disc.hc_p, hc_u=disc.hc_u,
         device_mesh=device_mesh,
     )
