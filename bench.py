@@ -125,21 +125,25 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag=""):
             f"evolving-regime bench degenerated: mech CG = {mech_cg}"
     # throughput pass: steps chained with one final sync — the production
     # host loop does not block per step (JAX async dispatch; logging reads
-    # stats behind the device).  Per-step blocking costs ~36 ms of
-    # host/tunnel round-trip on this setup and measures the harness, not
-    # the solver.
+    # stats behind the device).  The ONE final block_until_ready costs a
+    # full host<->tunnel round trip (~28 ms, measured by _rtt_ms), which
+    # is subtracted so the number is per-step device time; the chain is
+    # long enough (2x the diagnostics count) that residual bias is < 2 ms.
+    n_chain = 2 * n_steps
+    rtt = _rtt_ms() * 1e-3
     s0 = 2 + n_steps
     t0 = time.perf_counter()
-    for i in range(n_steps):
+    for i in range(n_chain):
         bc_scale = 1.0 + bc_rate * (s0 + i)
         state, stats = solver.time_step(state, data.time_step, bc_scale,
                                         bc_scale_prev=1.0
                                         + bc_rate * (s0 + i - 1))
     state.p.block_until_ready()
-    chained = (time.perf_counter() - t0) / n_steps
+    chained = max(time.perf_counter() - t0 - rtt, 1e-9) / n_chain
     assert np.isfinite(float(stats.pressure_error))
-    print(f"# {tag}chained x{n_steps}: {chained*1e3:.1f} ms/step "
-          f"(synced avg {sum(times)/len(times)*1e3:.1f})", file=sys.stderr)
+    print(f"# {tag}chained x{n_chain}: {chained*1e3:.1f} ms/step "
+          f"(synced avg {sum(times)/len(times)*1e3:.1f}, "
+          f"rtt {rtt*1e3:.1f} ms excluded)", file=sys.stderr)
     return chained, sum(times) / len(times)
 
 
@@ -164,22 +168,10 @@ def _op_models(data, disc):
     }
 
 
-def _time_chained(f, x, reps=30, same_shape=None):
-    """Device ms per application of ``f``, measured as an in-jit
-    ``fori_loop`` chain of ``reps`` applications — per-call host dispatch
-    (a ~0.9 ms floor on the remote-TPU tunnel, round-2 artifact: even
-    `mass_apply` 'measured' 0.92 ms) is excluded, and loop-invariant code
-    motion is defeated by threading the data through the loop.
-
-    same-shape ops chain ``x = f(x)`` directly (pure); mismatched-shape
-    ops feed a traced scalar from the output back into the input — XLA
-    cannot fold it because its value (0) is a runtime input.
-    """
+def _chain_runner(f, x, reps):
     import jax
     import jax.numpy as jnp
-    if same_shape is None:
-        same_shape = jax.eval_shape(f, x).shape == x.shape
-
+    same_shape = jax.eval_shape(f, x).shape == x.shape
     if same_shape:
         @jax.jit
         def run(x0):
@@ -200,30 +192,54 @@ def _time_chained(f, x, reps=30, same_shape=None):
                 return y.ravel()[0]
             return x0 + jax.lax.fori_loop(0, reps, body,
                                           jnp.zeros((), x0.dtype))
-    y = run(x)
-    jax.block_until_ready(y)
-    best = float("inf")
+    return run
+
+
+def _time_chained(f, x, reps=24):
+    """DEVICE ms per application of ``f``.
+
+    Methodology (round-3; see docs/VALIDATION.md "Blessed kernel
+    timings"): the op runs as an in-jit serial ``fori_loop`` chain (so no
+    per-call dispatch, and loop-hoisting is defeated by data threading),
+    and the single host<->device round-trip that ``block_until_ready``
+    costs on this tunneled TPU (~28 ms — the round-2 'dispatch floor'
+    0.93 ms was exactly RTT/30) is removed by timing chains of ``reps``
+    and ``4*reps`` applications and taking the slope:
+    ``device = (T(4r) - T(r)) / (3r)``.
+    """
+    import jax
+    run1 = _chain_runner(f, x, reps)
+    run4 = _chain_runner(f, x, 4 * reps)
+    jax.block_until_ready(run1(x))
+    jax.block_until_ready(run4(x))
+    best1 = best4 = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x))
-        best = min(best, time.perf_counter() - t0)
-    return best / reps * 1e3
+        jax.block_until_ready(run1(x))
+        best1 = min(best1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(run4(x))
+        best4 = min(best4, time.perf_counter() - t0)
+    return max(best4 - best1, 1e-9) / (3 * reps) * 1e3
 
 
-def _dispatch_floor_ms(reps=30):
-    """Per-call host->device dispatch floor (a trivial jitted op timed the
-    round-2 way: separate dispatches), reported so per-op device times and
-    the step's dispatch overhead stay distinguishable."""
+def _rtt_ms():
+    """Host<->device sync round-trip (the cost of ONE block_until_ready /
+    value read on this setup; ~28 ms through the remote-TPU tunnel, ~0 on
+    local CPU).  Reported so step timings can be read correctly: a
+    'synced' step pays this once per step, a chain of N steps pays it
+    once per N."""
     import jax
     import jax.numpy as jnp
     f = jax.jit(lambda x: x + 1.0)
     x = jnp.zeros((8,), jnp.float32)
     jax.block_until_ready(f(x))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        y = f(x)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / reps * 1e3
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
 
 
 def breakdown(data, disc, solver, quiet=False):
@@ -272,10 +288,10 @@ def breakdown(data, disc, solver, quiet=False):
         models["projection_rhs_rows"] = (
             rb + models["strain_projection_rhs"][0] - disc.n_udofs * 4,
             models["strain_projection_rhs"][1])
-    util = {"dispatch_floor_ms": round(_dispatch_floor_ms(), 3)}
+    util = {"sync_rtt_ms": round(_rtt_ms(), 2)}
     if not quiet:
-        print(f"# dispatch floor {util['dispatch_floor_ms']:.3f} ms/call "
-              "(excluded below: ops timed as in-jit chains)",
+        print(f"# host<->device sync RTT {util['sync_rtt_ms']:.1f} ms "
+              "(excluded below: in-jit chains, RTT removed by slope)",
               file=sys.stderr)
     for name, (f, x) in fns.items():
         ms = _time_chained(f, x)
@@ -301,6 +317,54 @@ def breakdown(data, disc, solver, quiet=False):
     return util
 
 
+def build_x64(cells=CELLS_PER_AXIS, elasticity_backend=None):
+    """The reference-tolerance f64 variant (round-2 verdict item 4a): the
+    same 40^3 problem at the tolerances that DEFINE correctness in the
+    reference (InputDataPoroel.h:138-141 / SolverControl defaults):
+    fss/pressure 1e-8 absolute, pressure/projection CG 1e-8 relative —
+    all the deck defaults, so no tolerance overrides here.  One documented
+    deviation: the reference's mechanics CG tolerance is 1e-12 ABSOLUTE,
+    which at this problem's RHS scale (||b|| ~ 1e4) is below the f64
+    attainable floor — the reference itself would throw
+    SolverControl::NoConvergence at 1000 iterations.  We keep the 1e-12
+    but relative: 12-digit mechanics solves that actually terminate."""
+    import dataclasses
+    import jax
+    from poroelasticity_dealii_tpu.config import read_input_file
+    from poroelasticity_dealii_tpu.solvers import FixedStressSolver
+    from poroelasticity_dealii_tpu.solvers.structured import \
+        build_grid_discretization
+    jax.config.update("jax_enable_x64", True)
+    data = read_input_file(os.path.join(HERE, "configs/consolidation_3d.data"))
+    data = dataclasses.replace(
+        data, dtype="float64",
+        flow_rate=1e-2,                 # same forcing as the f32 bench
+        mech_cg_tol=1e-12, mech_cg_relative=True)
+    t0 = time.perf_counter()
+    disc = build_grid_discretization(data, cells_per_axis=cells,
+                                     multigrid="off",
+                                     elasticity_backend=elasticity_backend)
+    solver = FixedStressSolver(disc, data)
+    print(f"# x64 setup: {time.perf_counter() - t0:.1f}s, "
+          f"dofs={disc.n_pdofs + disc.n_udofs}", file=sys.stderr)
+    return data, disc, solver
+
+
+def measure_x64(n_steps=2, cells=CELLS_PER_AXIS, elasticity_backend=None):
+    """ms/step (chained, synced) for the f64 reference-tolerance run."""
+    data, disc, solver = build_x64(cells, elasticity_backend)
+    ms, ms_sync = measure(data, solver, n_steps=n_steps, tag="x64 ")
+    return {
+        "ms_per_step_chained": round(ms * 1e3, 2),
+        "ms_per_step_synced": round(ms_sync * 1e3, 2),
+        "n_steps": n_steps,
+        "dtype": "float64",
+        "tolerances": "fss/pressure 1e-8 abs, pressure/projection CG 1e-8 "
+                      "rel, mechanics CG 1e-12 rel (reference's 1e-12 abs "
+                      "is below the attainable floor at this RHS scale)",
+    }
+
+
 BC_RATE = 0.05   # per-step Dirichlet load ramp for the evolving variant
 
 
@@ -308,6 +372,9 @@ def main():
     backend = None
     if "--backend" in sys.argv:
         backend = sys.argv[sys.argv.index("--backend") + 1]
+    if "--x64-only" in sys.argv:
+        print(json.dumps({"x64_reference_tol": measure_x64()}))
+        return
     if "--breakdown" in sys.argv:
         data, disc, solver, n_dofs = build(elasticity_backend=backend)
         breakdown(data, disc, solver)
@@ -339,6 +406,14 @@ def main():
                                 tag="evolving ")
     ms_ev, ms_ev_sync = ms_ev * 1e3, ms_ev_sync * 1e3
     util = breakdown(data, disc, solver, quiet=False)
+    # f64 reference-tolerance variant (recorded alongside, not the
+    # headline).  Skippable with --no-x64 if the round budget is tight.
+    x64 = None
+    if "--no-x64" not in sys.argv:
+        try:
+            x64 = measure_x64()
+        except Exception as e:          # record, don't lose the f32 result
+            x64 = {"error": f"{type(e).__name__}: {e}"[:500]}
 
     vs_baseline = vs_baseline_ev = None
     if os.path.exists(BASELINE_FILE):
@@ -364,6 +439,7 @@ def main():
                                  if vs_baseline_ev else None),
         "synced_ms_per_step": round(ms_sync, 2),
         "evolving_synced_ms_per_step": round(ms_ev_sync, 2),
+        "x64_reference_tol": x64,
         "utilization": util,
     }))
 

@@ -399,6 +399,168 @@ def make_pallas_apply_rows(element_matrix: np.ndarray, n: int,
     return apply_rows
 
 
+def _kernel_v3(nv_ref, rows_hbm, mask_hbm, ke_ref, lmask_ref, out_ref,
+               scratch, mscratch, carry, sem, msem, *, n: int, tc: int,
+               W: int, n_blocks: int):
+    """v2 + the Dirichlet mask folded in: ONE kernel call computes the
+    whole constrained apply ``y = m * A(m x) + (1 - m) x`` (round-2
+    roadmap lever: removes the two full-vector elementwise passes around
+    every CG iteration's operator apply).
+
+    The node mask rides in a second double-buffered HBM->VMEM DMA stream
+    over the same row ranges as the operand slabs; the gather reads the
+    MASKED slab (``x * m``), the phantom cell-lane mask stays the v2
+    (1, W) VMEM operand, and each output tile is finalized in-VMEM
+    (``out*m + x*(1-m)``) at the end of its block — tile k is complete
+    then (its carry arrived at the start of block k), so finalization
+    cannot race the carry.
+
+    Single-chip form only: the sharded z-slab path adds halo-return
+    contributions AFTER the local kernel, which must land before the
+    m/(1-m) finalize — it keeps v2 + outside masking.
+    """
+    k = pl.program_id(0)
+    parity = lambda j: jax.lax.bitwise_and(j, jnp.int32(1))  # noqa: E731
+
+    def get_dma(buf, hbm, s, slot, j):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(j * tc * 24, (tc + 1) * 24)], buf.at[slot],
+            s.at[slot])
+
+    @pl.when(k == 0)
+    def _():
+        get_dma(scratch, rows_hbm, sem, jnp.int32(0), jnp.int32(0)).start()
+        get_dma(mscratch, mask_hbm, msem, jnp.int32(0), jnp.int32(0)).start()
+
+    @pl.when(k + 1 < n_blocks)
+    def _():
+        get_dma(scratch, rows_hbm, sem, parity(k + 1), k + 1).start()
+        get_dma(mscratch, mask_hbm, msem, parity(k + 1), k + 1).start()
+
+    @pl.when(k < n_blocks)
+    def _compute():
+        get_dma(scratch, rows_hbm, sem, parity(k), k).wait()
+        get_dma(mscratch, mask_hbm, msem, parity(k), k).wait()
+        sl = scratch.at[parity(k)]
+        msl = mscratch.at[parity(k)]
+
+        Lc = n * (n + 1)
+        plan, _ = _interval_plan(n)
+        m = lmask_ref[...]                              # (1, W) lane mask
+        Kp = ke_ref[...]
+
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[0:24, :] += carry[...]
+        carry[...] = jnp.zeros_like(carry)
+
+        for zr in range(tc):                            # cell layer
+            ye = None
+            for (shift, col0, ivs) in plan:
+                parts = [sl[(zr + dz) * 24 + r0:(zr + dz) * 24 + r0 + cnt,
+                            shift:shift + Lc]
+                         * msl[(zr + dz) * 24 + r0:
+                               (zr + dz) * 24 + r0 + cnt,
+                               shift:shift + Lc]
+                         for (dz, r0, cnt) in ivs]
+                U_s = parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=0)
+                ncols = sum(cnt for (_, _, cnt) in ivs)
+                K_s = Kp[:, col0:col0 + ncols]
+                part = jnp.dot(K_s, U_s,
+                               preferred_element_type=out_ref.dtype,
+                               precision=jax.lax.Precision.HIGHEST)
+                ye = part if ye is None else ye + part
+            ye = ye * m[:, :Lc]                         # phantom columns
+            valid = (k * tc + zr < nv_ref[0]).astype(out_ref.dtype)
+            ye = ye * valid                             # phantom layers
+            row = 0
+            for (shift, col0, ivs) in plan:
+                for (dz, r0, cnt) in ivs:
+                    blk = ye[row:row + cnt]
+                    row += cnt
+                    if zr + dz < tc:
+                        r = (zr + dz) * 24 + r0
+                        out_ref[r:r + cnt, shift:shift + Lc] += blk
+                    else:                               # zr=tc-1, dz=1
+                        carry[r0:r0 + cnt, shift:shift + Lc] += blk
+        # finalize THIS tile: y = m*A(mx) + (1-m)*x (raw x = slab head)
+        m_t = msl[0:tc * 24, :]
+        x_t = sl[0:tc * 24, :]
+        out_ref[...] = out_ref[...] * m_t + x_t * (1.0 - m_t)
+
+    @pl.when(k == n_blocks)
+    def _flush():
+        # the flush tile's first 24 rows are zh layer n_blocks*tc; its raw
+        # x / mask rows are the TAIL rows of the last slab, still resident
+        # in scratch slot parity(n_blocks - 1)
+        slot = parity(jnp.int32(n_blocks - 1))
+        x24 = scratch[slot, tc * 24:(tc + 1) * 24, :]
+        m24 = mscratch[slot, tc * 24:(tc + 1) * 24, :]
+        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[0:24, :] = carry[...] * m24 + x24 * (1.0 - m24)
+
+
+def make_pallas_constrained_apply(element_matrix: np.ndarray, n: int,
+                                  free_mask_rows, dtype=jnp.float32,
+                                  tc: int = 4, interpret: bool = False):
+    """Fully-fused single-chip constrained elasticity apply
+    ``R -> m*A(m R) + (1-m) R`` in ONE pallas_call (see `_kernel_v3`).
+
+    ``free_mask_rows``: ((n+1)*24, W) Dirichlet free-mask in row layout
+    (1 free / 0 constrained, 0 on padding lanes/rows)."""
+    W = _width(n)
+    _, perm = _interval_plan(n)
+    Kp = np.asarray(element_matrix)[np.ix_(perm, perm)]
+    Ke = jnp.asarray(Kp, dtype)
+    lane = cell_lane_mask(n, dtype)
+    lmask = jnp.zeros((1, W), dtype).at[0, :lane.shape[0]].set(lane)
+    tc = min(tc, n)
+    n_blocks = math.ceil(n / tc)
+    zh_pad = n_blocks * tc + 1
+    kern = partial(_kernel_v3, n=n, tc=tc, W=W, n_blocks=n_blocks)
+    pad_rows_n = (zh_pad - (n + 1)) * 24
+    mask_padded = jnp.pad(jnp.asarray(free_mask_rows, dtype),
+                          ((0, pad_rows_n), (0, 0)))
+
+    zero1 = lambda k: (jnp.int32(0),)                      # noqa: E731
+    zero2 = lambda k: (jnp.int32(0), jnp.int32(0))         # noqa: E731
+    outmap = lambda k: (k, jnp.int32(0))                   # noqa: E731
+    nv = jnp.full((1,), n, jnp.int32)
+
+    @jax.jit
+    def constrained_apply(R):
+        Rp = jnp.pad(R, ((0, pad_rows_n), (0, 0)))
+        out = pl.pallas_call(
+            kern,
+            grid=(n_blocks + 1,),
+            in_specs=[
+                pl.BlockSpec((1,), zero1, memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((81, 81), zero2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, W), zero2, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tc * 24, W), outmap,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                ((n_blocks + 1) * tc * 24, W), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, (tc + 1) * 24, W), dtype),
+                pltpu.VMEM((2, (tc + 1) * 24, W), dtype),
+                pltpu.VMEM((24, W), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(nv, Rp, mask_padded, Ke, lmask)
+        return out[:(n + 1) * 24]
+
+    return constrained_apply
+
+
 def default_tc(n: int, dtype=jnp.float32,
                vmem_budget: int = 15 << 20) -> int:
     """Slab depth: as deep as fits VMEM, capped at 10 (measured fastest at
@@ -529,10 +691,16 @@ class ElasticityRowOps:
     diag_rows: jnp.ndarray       # Jacobi diagonal in rows (padding = 1)
     coupling_rows: object = None  # p -> coupling RHS directly in rows
     projection_rows: object = None  # u rows -> (C, n_pdofs) strain RHS
+    fused_constrained: object = None  # single-kernel m*A(mx)+(1-m)x (v3)
 
     def constrained_apply(self, x):
         """Free-subspace restriction, same semantics as
-        ops.constrained_apply (identity on constrained dofs)."""
+        ops.constrained_apply (identity on constrained dofs).  When the
+        v3 fused kernel is available (single-chip), the whole expression
+        is ONE pallas_call — no full-vector elementwise passes per CG
+        iteration."""
+        if self.fused_constrained is not None:
+            return self.fused_constrained(x)
         m = self.free_mask_rows
         y = self.apply_rows(x * m)
         return y * m + x * (1.0 - m)
@@ -558,10 +726,18 @@ def make_row_ops(element_matrix: np.ndarray, n: int, free_mask_u,
           if coupling_matrix is not None else None)
     pr = (make_projection_rows(projection_matrix, n, dtype)
           if projection_matrix is not None else None)
+    # v3 fused constrained apply: second DMA stream doubles the input
+    # scratch, so its slab depth follows a more conservative VMEM model
+    # (usage ~ row_bytes * (6 tc + 30) vs v2's 4 tc + 26)
+    row_bytes = 24 * _width(n) * jnp.dtype(dtype).itemsize
+    tc3 = max(2, min(8, int(((15 << 20) // row_bytes - 30) // 6)))
+    fused = make_pallas_constrained_apply(element_matrix, n, mask_rows,
+                                          dtype, tc=tc3,
+                                          interpret=interpret)
     return ElasticityRowOps(n=n, apply_rows=apply_rows, to_rows=t,
                             from_rows=f, free_mask_rows=mask_rows,
                             diag_rows=diag_rows, coupling_rows=cr,
-                            projection_rows=pr)
+                            projection_rows=pr, fused_constrained=fused)
 
 
 # ---------------------------------------------------------------------------

@@ -304,20 +304,28 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
     # ---------------- strain projection -------------------------------------
 
-    def _project(self, u, entries, warm, u_rows=None):
-        """L2-project selected Voigt strain components onto pressure space:
-        one batched multi-RHS mass-matrix CG (StrainProjector.h:109-232).
-
-        When ``u_rows`` is given (production rows path), the RHS assembles
-        directly from the comp-major row layout — the flat ``u`` is not
-        touched (may be None)."""
+    def _projection_rhs(self, u, u_rows=None):
+        """All-Voigt strain-projection RHS (n_voigt, n_pdofs).  When
+        ``u_rows`` is given (production rows path), assembles directly
+        from the comp-major row layout — the flat ``u`` is not touched
+        (may be None)."""
         d = self.disc
         ro = getattr(d, "row_ops", None)
         if u_rows is not None and ro is not None \
                 and ro.projection_rows is not None:
-            rhs_all = ro.projection_rows(u_rows)      # (n_voigt, n_pdofs)
-        else:
-            rhs_all = d.strain_projection_rhs(u)      # (n_voigt, n_pdofs)
+            return ro.projection_rows(u_rows)
+        return d.strain_projection_rhs(u)
+
+    def _project(self, u, entries, warm, u_rows=None, rhs_all=None):
+        """L2-project selected Voigt strain components onto pressure space:
+        one batched multi-RHS mass-matrix CG (StrainProjector.h:109-232).
+
+        ``rhs_all`` lets callers reuse an already-assembled all-Voigt RHS
+        (the FSS loop assembles it once per iteration; the end-of-step
+        shear solve reuses the final iteration's — same ``u``)."""
+        d = self.disc
+        if rhs_all is None:
+            rhs_all = self._projection_rhs(u, u_rows)
         rhs = rhs_all[jnp.asarray(entries)]
         rhs = jax.vmap(d._hcp.condense_vec)(rhs)
         tol = self.data.projection_cg_tol * jnp.linalg.norm(rhs, axis=1)
@@ -504,9 +512,10 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             u, cg_u, ok_u, st_u, u_rows = self._mechanics_solve(
                 p, c.get("u"), bc_scale,
                 u_warm_rows=c.get("u_rows") if rows_active else None)
+            rhs_all = self._projection_rhs(
+                u, u_rows=u_rows if rows_active else None)
             vol_strains, cg_proj, ok_pr = self._project(
-                u, vol, c["vol_strains"],
-                u_rows=u_rows if rows_active else None)
+                None, vol, c["vol_strains"], rhs_all=rhs_all)
             if resync:
                 # textbook fixed-stress correction: eps_v follows the
                 # projected mechanical strain (the line the reference left
@@ -517,6 +526,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             it = c["fss_iter"]
             out = dict(
                 p=p, eps_v=eps_v, vol_strains=vol_strains,
+                proj_rhs=rhs_all,   # reused by the end-of-step shear solve
                 err=err, fss_iter=it + 1,
                 press_total=c["press_total"] + n_press,
                 cg_p=c["cg_p"] + cg_p, cg_u=c["cg_u"] + cg_u,
@@ -533,9 +543,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 out["u"] = u
             return out
 
+        n_voigt = len(VOIGT_PAIRS[dim])
         carry = dict(
             p=state.p, eps_v=state.eps_v,
             vol_strains=state.strains[jnp.asarray(vol)],
+            proj_rhs=jnp.zeros((n_voigt, d.n_pdofs), d.dtype),
             err=jnp.asarray(2.0 * data.pressure_tol, d.dtype),  # :345
             fss_iter=jnp.int32(0),
             press_total=jnp.int32(0), cg_p=jnp.int32(0), cg_u=jnp.int32(0),
@@ -556,9 +568,13 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         cg_proj = c["cg_proj"]
         cg_ok = c["cg_ok"]
         if shear:
+            # the FSS loop always runs >= 1 iteration (err starts at
+            # 2*pressure_tol > fss_tol, same as the reference's :345), so
+            # c["proj_rhs"] is the final iteration's all-Voigt RHS for the
+            # SAME u — no reassembly
             shear_strains, cg_sh, ok_sh = self._project(
-                c.get("u"), shear, state.strains[jnp.asarray(shear)],
-                u_rows=c.get("u_rows") if rows_active else None)
+                None, shear, state.strains[jnp.asarray(shear)],
+                rhs_all=c["proj_rhs"])
             strains = strains.at[jnp.asarray(shear)].set(shear_strains)
             cg_proj = cg_proj + cg_sh
             cg_ok = cg_ok & ok_sh

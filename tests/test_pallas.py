@@ -199,3 +199,24 @@ def test_projection_rows_matches_flat_projection():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-10,
                                    atol=1e-12 * float(jnp.abs(ref).max()))
+
+
+@pytest.mark.parametrize("n,tc", [(4, 2), (5, 2), (4, 4), (6, 3)])
+def test_fused_constrained_apply_matches_composed(n, tc):
+    """v3 fused kernel (mask DMA + in-VMEM finalize) == the composed
+    m*A(mx)+(1-m)x form, including boundary-constrained rows, phantom
+    lanes and the tail/flush tiles (interpret mode)."""
+    from poroelasticity_dealii_tpu.ops.pallas_comp_major import (
+        make_pallas_apply_rows, make_pallas_constrained_apply, to_rows)
+    Ke, disc = _cm_setup(n)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(disc.n_udofs), jnp.float32)
+    R = to_rows(u, n)
+    m = to_rows(jnp.asarray(disc.free_mask_u, jnp.float32), n)
+    ar = make_pallas_apply_rows(Ke, n, jnp.float32, tc=tc, interpret=True)
+    ref = ar(R * m) * m + R * (1.0 - m)
+    fused = make_pallas_constrained_apply(Ke, n, m, jnp.float32, tc=tc,
+                                          interpret=True)
+    got = fused(R)
+    err = np.abs(np.asarray(got - ref)).max() / np.abs(np.asarray(ref)).max()
+    assert err < 1e-6, err
