@@ -204,6 +204,16 @@ _SCHEMA = {
     # XLA-convolution stencil; 'auto' picks pallas when eligible (3D Q2,
     # equal cells per axis, TPU backend).
     ("TPU", "Elasticity backend"): ("auto", _str({"auto", "conv", "pallas"})),
+    # Multi-chip domain decomposition for the runner (parallel/):
+    #   none       - single device
+    #   psum       - element shard_map + full-vector psum (any mesh, AMR ok)
+    #   ghost      - sharded DOF vectors + interface halo ppermutes
+    #   gspmd      - conv-stencil GSPMD slab sharding (structured grids)
+    #   production - z-slab sharded Pallas row ops + GSPMD stencils
+    #                (structured 3D Q2 grids)
+    ("TPU", "Sharding"): ("none", _str({"none", "psum", "ghost", "gspmd",
+                                        "production"})),
+    ("TPU", "Devices"): ("0", _int(0)),   # 0 = all visible devices
 }
 
 
@@ -267,6 +277,8 @@ class InputData:
     gravity_direction: int = -1
     debug_nans: bool = False
     elasticity_backend: str = "auto"
+    sharding: str = "none"
+    n_devices: int = 0
 
     # ---- derived poroelastic moduli (InputDataPoroel.h:213-222) ----
     @property
@@ -364,6 +376,8 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
         gravity_direction=vals[("TPU", "Gravity direction")],
         debug_nans=vals[("TPU", "Debug NaNs")] == "true",
         elasticity_backend=vals[("TPU", "Elasticity backend")],
+        sharding=vals[("TPU", "Sharding")],
+        n_devices=vals[("TPU", "Devices")],
     )
 
     nbc = len(data.displacement_boundary_labels)

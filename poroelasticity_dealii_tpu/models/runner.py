@@ -29,6 +29,34 @@ from ..utils.logging_utils import RunLogger
 from ..utils.vtk_io import displacement_at_pressure_nodes, write_vtk
 
 
+def _apply_sharding(disc, data: InputData):
+    """'TPU / Sharding = psum|ghost|gspmd|production': wrap the built
+    discretization in the requested multi-chip domain decomposition
+    (parallel/); 'TPU / Devices = N' limits the mesh (0 = all visible).
+    The solver runs unchanged on the wrapped discretization."""
+    from ..parallel import make_device_mesh
+    dmesh = make_device_mesh(data.n_devices or None)
+    mode = data.sharding
+    if dmesh.devices.size < 2 and mode != "none":
+        import warnings
+        warnings.warn(f"'TPU / Sharding = {mode}' with a single visible "
+                      "device: running unsharded", RuntimeWarning)
+        return disc
+    if mode == "psum":
+        from ..parallel import shard_discretization
+        return shard_discretization(disc, dmesh)
+    if mode == "ghost":
+        from ..parallel import shard_discretization_ghost
+        return shard_discretization_ghost(disc, dmesh)
+    if mode == "gspmd":
+        from ..parallel import shard_grid_discretization
+        return shard_grid_discretization(disc, dmesh)
+    if mode == "production":
+        from ..parallel.rows import shard_production_discretization
+        return shard_production_discretization(disc, dmesh)
+    raise ValueError(f"unknown sharding mode {mode!r}")
+
+
 class SimulationRunner:
     def __init__(self, data: InputData, mesh=None,
                  logger: Optional[RunLogger] = None, disc=None,
@@ -49,6 +77,8 @@ class SimulationRunner:
             # uniform rectilinear domain: gather/scatter-free fast path
             from ..solvers.structured import build_grid_discretization
             self.disc = build_grid_discretization(data)
+        if getattr(data, "sharding", "none") != "none":
+            self.disc = _apply_sharding(self.disc, data)
         self.mesh = self.disc.pressure_space.mesh
         self.solver = FixedStressSolver(self.disc, data)
         self.logger = logger or RunLogger(

@@ -178,6 +178,11 @@ def shard_discretization(disc: Discretization,
     rep = NamedSharding(device_mesh, P())
 
     def put_cells(arr, pad_value=0):
+        arr = jnp.asarray(arr)
+        if arr.shape[-1] == 1 and n_cells > 1:
+            # uniform structured grids broadcast geometry over cells
+            # (trailing dim 1) — materialize before sharding
+            arr = jnp.broadcast_to(arr, arr.shape[:-1] + (n_cells,))
         padded = _pad_cells(arr, n_pad, pad_value)
         sharding = NamedSharding(device_mesh, _cell_spec(padded.ndim))
         return jax.device_put(padded, sharding)

@@ -87,3 +87,20 @@ end
     assert r.returncode == 0, r.stderr
     vtk = (tmp_path / "solution" / "solution-0001.vtk").read_text()
     assert "POINTS 121 double" in vtk   # the asset's 121 nodes
+
+
+def test_deck_sharding_knob(tmp_path):
+    """'TPU / Sharding = psum' + 'Devices = 8' runs the full simulation
+    through the sharded discretization from the deck alone (multi-chip is
+    reachable from the CLI, not only the library API)."""
+    import numpy as np
+    from poroelasticity_dealii_tpu.models.runner import run_from_deck
+    deck = open("configs/golden_2d.data").read() + (
+        "\nsubsection Solver\n  set Time max = 120\nend\n"
+        "subsection TPU\n  set Sharding = psum\n  set Devices = 8\n"
+        "  set Output VTK = false\n"
+        f"  set Output directory = {tmp_path}\nend\n")
+    p = tmp_path / "shard.data"
+    p.write_text(deck)
+    state = run_from_deck(str(p))
+    assert np.isfinite(np.asarray(state.p)).all()
