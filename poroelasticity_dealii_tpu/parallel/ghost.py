@@ -82,7 +82,15 @@ def renumber_discretization(disc: Discretization
     ``x_new = x_old[old_order]`` maps vectors into the new numbering.
     """
     if disc.hc_p is not None or disc.hc_u is not None:
-        raise NotImplementedError("ghost sharding on AMR meshes")
+        # Hanging-node constraints couple DOFs across the slab interface in
+        # ways the first-touch band/halo model doesn't capture (a hanging
+        # DOF's masters can live outside the one-cell halo after
+        # renumbering).  AMR meshes shard through the psum element path
+        # instead (parallel.sharding.shard_discretization carries hc_p/
+        # hc_u; 1-vs-8 equality tested in tests/test_sharding.py).
+        raise NotImplementedError(
+            "ghost sharding on AMR meshes — use shard_discretization "
+            "(psum mode), which supports hanging-node constraints")
     dim = disc.dim
     sp, su = disc.pressure_space, disc.displacement_space
     order_p = first_touch_order(sp.cell_nodes, sp.n_nodes)

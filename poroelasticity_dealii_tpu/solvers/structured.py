@@ -319,6 +319,16 @@ def build_grid_discretization(data: InputData,
         eligible = (dim == 3 and displacement_degree == 2
                     and len(set(cells_per_axis)) == 1)
         on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and dtype == np.float64:
+            # Mosaic has no f64 MXU path (probed: the kernel raises
+            # NotImplementedError at compile) — f64 runs use the conv
+            # stencils, which XLA emulates in f64 on TPU
+            if eb == "pallas":
+                raise NotImplementedError(
+                    "Pallas elasticity backend is float32-only on TPU "
+                    "(Mosaic has no f64 matmul); use the conv backend for "
+                    "f64 runs")
+            eligible = False
         if eb == "pallas" and not eligible:
             raise NotImplementedError(
                 "Pallas elasticity backend needs a 3D Q2 space with equal "
