@@ -341,8 +341,13 @@ def build_x64(cells=CELLS_PER_AXIS, elasticity_backend=None):
         flow_rate=1e-2,                 # same forcing as the f32 bench
         mech_cg_tol=1e-12, mech_cg_relative=True)
     t0 = time.perf_counter()
+    # multigrid ON for f64: without the row kernel (f32-only on TPU) the
+    # cold Jacobi-CG mechanics solve needs O(1000) f64 conv applies in ONE
+    # dispatch, which trips the remote-TPU execution watchdog ("TPU device
+    # error"; bisected round 3 — every individual op runs fine).  GMG-CG
+    # needs ~10-30.
     disc = build_grid_discretization(data, cells_per_axis=cells,
-                                     multigrid="off",
+                                     multigrid="on",
                                      elasticity_backend=elasticity_backend)
     solver = FixedStressSolver(disc, data)
     print(f"# x64 setup: {time.perf_counter() - t0:.1f}s, "
@@ -350,7 +355,7 @@ def build_x64(cells=CELLS_PER_AXIS, elasticity_backend=None):
     return data, disc, solver
 
 
-def measure_x64(n_steps=2, cells=CELLS_PER_AXIS, elasticity_backend=None):
+def measure_x64(n_steps=1, cells=CELLS_PER_AXIS, elasticity_backend=None):
     """ms/step (chained, synced) for the f64 reference-tolerance run."""
     data, disc, solver = build_x64(cells, elasticity_backend)
     ms, ms_sync = measure(data, solver, n_steps=n_steps, tag="x64 ")
@@ -407,13 +412,24 @@ def main():
     ms_ev, ms_ev_sync = ms_ev * 1e3, ms_ev_sync * 1e3
     util = breakdown(data, disc, solver, quiet=False)
     # f64 reference-tolerance variant (recorded alongside, not the
-    # headline).  Skippable with --no-x64 if the round budget is tight.
+    # headline).  Runs in a BOUNDED subprocess so a TPU fault or an
+    # emulated-f64 overrun cannot cost the f32 result (measured ~35 s/step
+    # at reference tolerances; warm-cache phase ~5-10 min).  Skippable
+    # with --no-x64.
     x64 = None
     if "--no-x64" not in sys.argv:
+        import subprocess
         try:
-            x64 = measure_x64()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--x64-only"],
+                cwd=HERE, timeout=1800, text=True,
+                stdout=subprocess.PIPE, stderr=sys.stderr)
+            x64 = json.loads(proc.stdout.strip().splitlines()[-1]
+                             )["x64_reference_tol"]
         except Exception as e:          # record, don't lose the f32 result
-            x64 = {"error": f"{type(e).__name__}: {e}"[:500]}
+            x64 = {"error": f"{type(e).__name__}: {e}"[:500],
+                   "last_measured": "35.5 s/step chained (2026-08-17, "
+                   "f64 conv+GMG at 40^3, see BASELINE.md round-3 table)"}
 
     vs_baseline = vs_baseline_ev = None
     if os.path.exists(BASELINE_FILE):
