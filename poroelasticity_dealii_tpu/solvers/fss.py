@@ -85,6 +85,13 @@ class State(NamedTuple):
     # transpose.  A stale value only costs CG iterations, never
     # correctness (constrained rows are overwritten from the bc pattern).
     u_rows: jnp.ndarray = None
+    # derived cache: the last mechanics RHS (constrained form).  When the
+    # freshly assembled RHS is BITWISE identical (quasi-static tail steps:
+    # p stops changing, so the deterministic assembly reproduces it
+    # exactly), the mechanics solve is skipped — u already solves the
+    # system to the previously achieved residual (roadmap lever "skip the
+    # mechanics re-solve when the coupling RHS is unchanged").
+    mech_b: jnp.ndarray = None
 
 
 @dataclasses.dataclass(frozen=True, eq=False)  # eq=False: identity hash so
@@ -227,16 +234,46 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
     # ---------------- mechanics solve ---------------------------------------
 
-    def _mechanics_solve(self, p, u_warm, bc_scale=1.0, u_warm_rows=None):
+    def _mechanics_solve(self, p, u_warm, bc_scale=1.0, u_warm_rows=None,
+                         b_prev=None):
         """Elasticity solve with pressure-coupling RHS + traction + Dirichlet
         (PoroElasticDisplacementSolver.h:155-307).  Body force follows the
         reference's effective default: zero (gravity quirk, SURVEY §2.1.2).
 
         ``bc_scale`` (traced scalar) scales the Dirichlet value pattern —
         time-dependent loading (e.g. Mandel's rigid plate) without
-        recompiling."""
+        recompiling.
+
+        ``b_prev`` (optional, traced): the previous constrained RHS.  When
+        the new RHS is BITWISE identical (quasi-static tail: p stopped
+        changing, the deterministic assembly reproduces b exactly), the
+        solve is skipped under ``lax.cond`` and the warm start — which IS
+        the solution of that identical system — is returned with 0
+        iterations.  Exact equality means zero behavioral risk: any real
+        update changes at least one bit of b.
+
+        Returns ``(u_flat_or_None, iters, converged, stalled, u_rows, b)``.
+        """
         d, data = self.disc, self.data
         row_ops = getattr(d, "row_ops", None)
+
+        def maybe_solve(b, x0, solve):
+            if b_prev is None:
+                res = solve(b, x0)
+                return res.x, res.iterations, res.converged, \
+                    jnp.asarray(res.stalled)
+            unchanged = jnp.all(b == b_prev)
+
+            def _do(_):
+                res = solve(b, x0)
+                return (res.x, res.iterations, res.converged,
+                        jnp.asarray(res.stalled))
+
+            def _skip(_):
+                return (x0, jnp.int32(0), jnp.bool_(True), jnp.bool_(False))
+
+            return jax.lax.cond(unchanged, _skip, _do, None)
+
         if _rows_ready(row_ops):
             # fully-in-rows RHS assembly (conforming structured grid: the
             # hanging-node maps are empty): coupling scatters straight into
@@ -251,17 +288,20 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                          else row_ops.to_rows(u_warm))
             x0_rows = m * warm_rows \
                 + (1.0 - m) * (bc_scale * self._dirichlet_rows)
-            tol = jnp.asarray(data.mech_cg_tol, d.dtype)
-            if data.mech_cg_relative:
-                tol = tol * jnp.linalg.norm(b_rows)
-            res = cg_solve(row_ops.constrained_apply, b_rows, x0_rows,
-                           row_ops.diag_rows, tol=tol,
-                           max_iter=data.cg_max_iterations)
+
+            def solve(b, x0):
+                tol = jnp.asarray(data.mech_cg_tol, d.dtype)
+                if data.mech_cg_relative:
+                    tol = tol * jnp.linalg.norm(b)
+                return cg_solve(row_ops.constrained_apply, b, x0,
+                                row_ops.diag_rows, tol=tol,
+                                max_iter=data.cg_max_iterations)
+
+            x, it, ok, st = maybe_solve(b_rows, x0_rows, solve)
             # u stays in rows — NO from_rows here: the projection RHS also
             # reads rows (projection_rows), so the flat layout is
             # materialized exactly once per step, at the State boundary
-            return (None, res.iterations, res.converged,
-                    jnp.asarray(res.stalled), res.x)
+            return (None, it, ok, st, x, b_rows)
         rhs = d._hcu.condense_vec(
             d.coupling_rhs(p, data.biot_coef) + d.f_neumann)
         g = d.dirichlet_values * bc_scale
@@ -270,37 +310,41 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         apply = d.elasticity_constrained
         x0 = d._hcu.zero_hanging(
             d.free_mask_u * u_warm + (1.0 - d.free_mask_u) * g)
-        tol = jnp.asarray(data.mech_cg_tol, d.dtype)
-        if data.mech_cg_relative:
-            tol = tol * jnp.linalg.norm(b_mod)
         precond = getattr(d, "gmg_precond", None)  # multigrid when available
-        if row_ops is not None:
-            # Pallas fast path FIRST: the WHOLE CG runs in the comp-major
-            # row layout (dots/axpys/masks are layout-exact — see
-            # ops/pallas_comp_major.ElasticityRowOps); layout conversions
-            # happen once per solve, not once per operator apply.  Measured
-            # at 40^3 f32 on v5e: warm-started Jacobi row-CG ~0.6 ms/iter
-            # beats GMG-Richardson (~59 ms/V-cycle at 0.25 contraction) at
-            # the bench tolerances by ~5-8x — see docs/VALIDATION.md
-            # "elasticity GMG ablation".
-            res = cg_solve(row_ops.constrained_apply, row_ops.to_rows(b_mod),
-                           row_ops.to_rows(x0), row_ops.diag_rows,
-                           tol=tol, max_iter=data.cg_max_iterations)
-            res = res._replace(x=row_ops.from_rows(res.x))
-        elif precond is not None and d.dtype == jnp.float32:
-            # f32 + strong operator preconditioner: CG's p·Ap is dominated
-            # by the operator apply's forward-error noise (docs/VALIDATION
-            # "known limitations"); preconditioned Richardson has no
-            # quadratic forms and contracts at the V-cycle rate.
-            from .cg import richardson_solve
-            res = richardson_solve(apply, b_mod, x0, precond, tol,
-                                   data.cg_max_iterations)
-        else:
-            res = cg_solve(apply, b_mod, x0, d.diag_elasticity,
-                           tol=tol, max_iter=data.cg_max_iterations,
-                           precond=precond)
-        return (d._hcu.distribute(res.x), res.iterations, res.converged,
-                jnp.asarray(res.stalled), None)
+
+        def solve(b, x0):
+            tol = jnp.asarray(data.mech_cg_tol, d.dtype)
+            if data.mech_cg_relative:
+                tol = tol * jnp.linalg.norm(b)
+            if row_ops is not None:
+                # Pallas fast path FIRST: the WHOLE CG runs in the
+                # comp-major row layout (dots/axpys/masks are layout-exact
+                # — see ops/pallas_comp_major.ElasticityRowOps); layout
+                # conversions happen once per solve, not once per operator
+                # apply.  Measured at 40^3 f32 on v5e: warm-started Jacobi
+                # row-CG ~0.6 ms/iter beats GMG-Richardson (~59 ms/V-cycle
+                # at 0.25 contraction) at the bench tolerances by ~5-8x —
+                # see docs/VALIDATION.md "elasticity GMG ablation".
+                res = cg_solve(row_ops.constrained_apply,
+                               row_ops.to_rows(b), row_ops.to_rows(x0),
+                               row_ops.diag_rows, tol=tol,
+                               max_iter=data.cg_max_iterations)
+                return res._replace(x=row_ops.from_rows(res.x))
+            if precond is not None and d.dtype == jnp.float32:
+                # f32 + strong operator preconditioner: CG's p·Ap is
+                # dominated by the operator apply's forward-error noise
+                # (docs/VALIDATION "known limitations"); preconditioned
+                # Richardson has no quadratic forms and contracts at the
+                # V-cycle rate.
+                from .cg import richardson_solve
+                return richardson_solve(apply, b, x0, precond, tol,
+                                        data.cg_max_iterations)
+            return cg_solve(apply, b, x0, d.diag_elasticity,
+                            tol=tol, max_iter=data.cg_max_iterations,
+                            precond=precond)
+
+        x, it, ok, st = maybe_solve(b_mod, x0, solve)
+        return (d._hcu.distribute(x), it, ok, st, None, b_mod)
 
     # ---------------- strain projection -------------------------------------
 
@@ -356,7 +400,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         dim = d.dim
         n_voigt = len(VOIGT_PAIRS[dim])
         p = p0 * d.free_mask_p + d.dirichlet_values_p * (1.0 - d.free_mask_p)
-        u, _, _, _, u_rows = self._mechanics_solve(p, u0, bc_scale)
+        u, _, _, _, u_rows, _ = self._mechanics_solve(p, u0, bc_scale)
         if u is None:                      # rows path: one boundary convert
             u = d.row_ops.from_rows(u_rows)
         vol = VOLUMETRIC_ENTRIES[dim]
@@ -509,9 +553,10 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             delta_p = jnp.zeros_like(c["p"])  # reset per FSS iteration (:356)
             p, eps_v, delta_p, err_p, n_press, cg_p, ok_p = pressure_inner(
                 c["p"], c["eps_v"], delta_p)
-            u, cg_u, ok_u, st_u, u_rows = self._mechanics_solve(
+            u, cg_u, ok_u, st_u, u_rows, mech_b = self._mechanics_solve(
                 p, c.get("u"), bc_scale,
-                u_warm_rows=c.get("u_rows") if rows_active else None)
+                u_warm_rows=c.get("u_rows") if rows_active else None,
+                b_prev=c["mech_b"])
             rhs_all = self._projection_rhs(
                 u, u_rows=u_rows if rows_active else None)
             vol_strains, cg_proj, ok_pr = self._project(
@@ -527,6 +572,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             out = dict(
                 p=p, eps_v=eps_v, vol_strains=vol_strains,
                 proj_rhs=rhs_all,   # reused by the end-of-step shear solve
+                mech_b=mech_b,      # skip-if-unchanged cache
                 err=err, fss_iter=it + 1,
                 press_total=c["press_total"] + n_press,
                 cg_p=c["cg_p"] + cg_p, cg_u=c["cg_u"] + cg_u,
@@ -559,8 +605,14 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         if rows_active:
             carry["u_rows"] = (state.u_rows if state.u_rows is not None
                                else ro.to_rows(state.u))
+            b_shape_like = ro.free_mask_rows
         else:
             carry["u"] = state.u
+            b_shape_like = d.free_mask_u
+        # zeros start: any real RHS differs from 0 somewhere, so the first
+        # iteration after a restart/remesh always solves
+        carry["mech_b"] = (state.mech_b if state.mech_b is not None
+                           else jnp.zeros_like(b_shape_like))
         c = jax.lax.while_loop(fss_cond, fss_body, carry)
 
         # shear strains once per step after FSS convergence (:409)
@@ -586,7 +638,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         # checkpoints)
         new_state = State(p=c["p"], u=u_final, eps_v=c["eps_v"],
                           eps_v0=state.eps_v0, strains=strains,
-                          u_rows=c.get("u_rows"))
+                          u_rows=c.get("u_rows"), mech_b=c["mech_b"])
         stats = StepStats(
             fss_iterations=c["fss_iter"], pressure_error=c["err"],
             pressure_iterations=c["press_total"],
