@@ -247,10 +247,15 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         ``b_prev`` (optional, traced): the previous constrained RHS.  When
         the new RHS is BITWISE identical (quasi-static tail: p stopped
         changing, the deterministic assembly reproduces b exactly), the
-        solve is skipped under ``lax.cond`` and the warm start — which IS
-        the solution of that identical system — is returned with 0
-        iterations.  Exact equality means zero behavioral risk: any real
-        update changes at least one bit of b.
+        solve is skipped — the warm start IS the solution of that
+        identical system — by lifting the CG tolerance to +inf, so the
+        while_loop exits after the initial residual check (0 iterations,
+        one operator apply).  Exact equality means zero behavioral risk:
+        any real update changes at least one bit of b.  (A lax.cond
+        around the solve was tried first and hit a deterministic XLA:CPU
+        compiler segfault on the cond(while(while)) nesting inside the
+        FSS loop; the tolerance lift expresses the same thing with no
+        extra control flow.)
 
         Returns ``(u_flat_or_None, iters, converged, stalled, u_rows, b)``.
         """
@@ -259,20 +264,16 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
         def maybe_solve(b, x0, solve):
             if b_prev is None:
-                res = solve(b, x0)
-                return res.x, res.iterations, res.converged, \
-                    jnp.asarray(res.stalled)
-            unchanged = jnp.all(b == b_prev)
+                res = solve(b, x0, None)
+            else:
+                res = solve(b, x0, jnp.all(b == b_prev))
+            return res.x, res.iterations, res.converged, \
+                jnp.asarray(res.stalled)
 
-            def _do(_):
-                res = solve(b, x0)
-                return (res.x, res.iterations, res.converged,
-                        jnp.asarray(res.stalled))
-
-            def _skip(_):
-                return (x0, jnp.int32(0), jnp.bool_(True), jnp.bool_(False))
-
-            return jax.lax.cond(unchanged, _skip, _do, None)
+        def skip_tol(tol, unchanged):
+            if unchanged is None:
+                return tol
+            return jnp.where(unchanged, jnp.asarray(jnp.inf, d.dtype), tol)
 
         if _rows_ready(row_ops):
             # fully-in-rows RHS assembly (conforming structured grid: the
@@ -289,12 +290,13 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             x0_rows = m * warm_rows \
                 + (1.0 - m) * (bc_scale * self._dirichlet_rows)
 
-            def solve(b, x0):
+            def solve(b, x0, unchanged):
                 tol = jnp.asarray(data.mech_cg_tol, d.dtype)
                 if data.mech_cg_relative:
                     tol = tol * jnp.linalg.norm(b)
                 return cg_solve(row_ops.constrained_apply, b, x0,
-                                row_ops.diag_rows, tol=tol,
+                                row_ops.diag_rows,
+                                tol=skip_tol(tol, unchanged),
                                 max_iter=data.cg_max_iterations)
 
             x, it, ok, st = maybe_solve(b_rows, x0_rows, solve)
@@ -312,10 +314,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             d.free_mask_u * u_warm + (1.0 - d.free_mask_u) * g)
         precond = getattr(d, "gmg_precond", None)  # multigrid when available
 
-        def solve(b, x0):
+        def solve(b, x0, unchanged):
             tol = jnp.asarray(data.mech_cg_tol, d.dtype)
             if data.mech_cg_relative:
                 tol = tol * jnp.linalg.norm(b)
+            tol = skip_tol(tol, unchanged)
             if row_ops is not None:
                 # Pallas fast path FIRST: the WHOLE CG runs in the
                 # comp-major row layout (dots/axpys/masks are layout-exact

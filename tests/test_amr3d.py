@@ -190,7 +190,7 @@ def test_mechanics_patch_test_3d(amr3d_problem):
         f_well=disc.f_well * 0.0)
     data2 = dataclasses.replace(data, biot_coef=0.1)
     solver = FixedStressSolver(disc2, data2)
-    u, iters, ok, _, _ = solver._mechanics_solve(
+    u, iters, ok, _, _, _ = solver._mechanics_solve(
         jnp.zeros(disc.n_pdofs, disc.dtype),
         jnp.zeros(disc.n_udofs, disc.dtype))
     np.testing.assert_allclose(np.asarray(u), u_exact, rtol=1e-6,

@@ -140,8 +140,8 @@ def test_row_ops_solver_path_matches_conv():
     # actually iterate through the kernel and agree with the conv CG
     p0 = jnp.full((disc_c.n_pdofs,), data.p_init, disc_c.dtype)
     u0 = jnp.zeros((disc_c.n_udofs,), disc_c.dtype)
-    uc, it_c, _, _, _ = sc._mechanics_solve(p0, u0)
-    up, it_p, _, _, up_rows = sp._mechanics_solve(p0, u0)
+    uc, it_c, _, _, _, _ = sc._mechanics_solve(p0, u0)
+    up, it_p, _, _, up_rows, _ = sp._mechanics_solve(p0, u0)
     # rows path keeps u resident in the row layout (u=None); the flat
     # vector materializes only at State boundaries
     assert up is None
