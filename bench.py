@@ -460,6 +460,13 @@ def main():
         "metric": "chained_wall_clock_per_fss_timestep_1.66M_dof_3d",
         "value": round(ms, 2),
         "unit": "ms",
+        # the steady chain follows the production quasi-static trajectory,
+        # which settles: late steps legitimately skip the mechanics
+        # re-solve (RHS bitwise unchanged) and pressure converges
+        # immediately.  'evolving_mechanics_ms' is the all-work regime
+        # (ramped plate load, mech CG > 0 asserted every diagnostic step)
+        # — the cleaner number for cross-round solver-speed comparisons.
+        "steady_note": "includes skip-optimized settled tail steps",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "evolving_mechanics_ms": round(ms_ev, 2),
         "evolving_vs_baseline": (round(vs_baseline_ev, 3)

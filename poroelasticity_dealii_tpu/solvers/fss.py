@@ -403,7 +403,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         dim = d.dim
         n_voigt = len(VOIGT_PAIRS[dim])
         p = p0 * d.free_mask_p + d.dirichlet_values_p * (1.0 - d.free_mask_p)
-        u, _, _, _, u_rows, _ = self._mechanics_solve(p, u0, bc_scale)
+        u, _, _, _, u_rows, b0 = self._mechanics_solve(p, u0, bc_scale)
         if u is None:                      # rows path: one boundary convert
             u = d.row_ops.from_rows(u_rows)
         vol = VOLUMETRIC_ENTRIES[dim]
@@ -412,8 +412,12 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         strains = jnp.zeros((n_voigt, d.n_pdofs), d.dtype)
         strains = strains.at[jnp.asarray(vol)].set(vol_strains)
         eps_v = jnp.sum(vol_strains, axis=0)
+        # mech_b = ZEROS (not b0): the first time step must re-solve
+        # unconditionally (reference semantics); a zeros cache of the right
+        # SHAPE keeps the State pytree structure identical before and after
+        # the first step, so time_step compiles once, not twice
         return State(p=p, u=u, eps_v=eps_v, eps_v0=eps_v, strains=strains,
-                     u_rows=u_rows)
+                     u_rows=u_rows, mech_b=jnp.zeros_like(b0))
 
     # ---------------- one full time step (jitted) ---------------------------
 
