@@ -83,5 +83,85 @@ def main(out="configs/irregular_2d.msh"):
     print(f"wrote {out}: {nvx * nvy} nodes, {nx * ny} quads")
 
 
+def build_vertices_3d(nx=7, ny=6, nz=5, L=10.0, seed=11):
+    """Graded + warped + jittered hex-grid vertices on the 10 m cube."""
+    def graded(n, ratio):
+        w = ratio ** np.arange(n)
+        edges = np.concatenate([[0.0], np.cumsum(w)])
+        return edges / edges[-1] * L - L / 2
+    xs, ys, zs = graded(nx, 1.25), graded(ny, 0.8), graded(nz, 1.15)
+    Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+    def bump(A, a):
+        return (A - a[0]) * (a[-1] - A) / (L / 2) ** 2
+    bx, by, bz = bump(X, xs), bump(Y, ys), bump(Z, zs)
+    Xw = X + 0.5 * np.sin(2 * np.pi * Y / L) * bx * by * bz * L / 8
+    Yw = Y + 0.4 * np.sin(2 * np.pi * Z / L + 0.5) * bx * by * bz * L / 8
+    Zw = Z + 0.45 * np.sin(2 * np.pi * X / L + 1.1) * bx * by * bz * L / 8
+    rng = np.random.default_rng(seed)
+    h = min(np.diff(xs).min(), np.diff(ys).min(), np.diff(zs).min())
+    interior = np.ones(X.shape, bool)
+    for axis in range(3):
+        sl = [slice(None)] * 3
+        for end in (0, -1):
+            sl[axis] = end
+            interior[tuple(sl)] = False
+    for W, jit in ((Xw, 0.22), (Yw, 0.22), (Zw, 0.22)):
+        W[interior] += rng.uniform(-jit, jit, X.shape)[interior] * h
+    return Xw, Yw, Zw, nx, ny, nz
+
+
+def main_3d(out="configs/irregular_3d.msh"):
+    X, Y, Z, nx, ny, nz = build_vertices_3d()
+    nvx, nvy, nvz = nx + 1, ny + 1, nz + 1
+    vid = lambda i, j, k: (k * nvy + j) * nvx + i + 1
+
+    lines = []
+    eid = 1
+    # boundary quads, colorize ids: 0/1 x-low/high, 2/3 y, 4/5 z
+    for k in range(nz):
+        for j in range(ny):
+            for i, pid in ((0, 0), (nx, 1)):
+                lines.append(
+                    f"{eid} 3 2 {pid} {pid} {vid(i, j, k)} {vid(i, j+1, k)} "
+                    f"{vid(i, j+1, k+1)} {vid(i, j, k+1)}"); eid += 1
+    for k in range(nz):
+        for i in range(nx):
+            for j, pid in ((0, 2), (ny, 3)):
+                lines.append(
+                    f"{eid} 3 2 {pid} {pid} {vid(i, j, k)} {vid(i+1, j, k)} "
+                    f"{vid(i+1, j, k+1)} {vid(i, j, k+1)}"); eid += 1
+    for j in range(ny):
+        for i in range(nx):
+            for k, pid in ((0, 4), (nz, 5)):
+                lines.append(
+                    f"{eid} 3 2 {pid} {pid} {vid(i, j, k)} {vid(i+1, j, k)} "
+                    f"{vid(i+1, j+1, k)} {vid(i, j+1, k)}"); eid += 1
+    # hexes, gmsh corner order (bottom quad ccw, then top quad)
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                lines.append(
+                    f"{eid} 5 2 9 9 "
+                    f"{vid(i, j, k)} {vid(i+1, j, k)} {vid(i+1, j+1, k)} "
+                    f"{vid(i, j+1, k)} {vid(i, j, k+1)} {vid(i+1, j, k+1)} "
+                    f"{vid(i+1, j+1, k+1)} {vid(i, j+1, k+1)}"); eid += 1
+
+    with open(out, "w") as fh:
+        fh.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n$Nodes\n")
+        fh.write(f"{nvx * nvy * nvz}\n")
+        for k in range(nvz):
+            for j in range(nvy):
+                for i in range(nvx):
+                    fh.write(f"{vid(i, j, k)} {X[k, j, i]:.12g} "
+                             f"{Y[k, j, i]:.12g} {Z[k, j, i]:.12g}\n")
+        fh.write("$EndNodes\n$Elements\n")
+        fh.write(f"{len(lines)}\n")
+        fh.write("\n".join(lines) + "\n$EndElements\n")
+    print(f"wrote {out}: {nvx * nvy * nvz} nodes, {nx * ny * nz} hexes")
+
+
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    if "--3d" in sys.argv:
+        main_3d(*[a for a in sys.argv[1:] if a != "--3d"])
+    else:
+        main(*sys.argv[1:])

@@ -188,3 +188,27 @@ def test_irregular_gmsh_end_to_end():
     assert p.min() > 0.9e7 and p.max() < 1.3e7   # same regime as golden
     u = np.asarray(st.u)
     assert np.abs(u).max() < 5e-5
+
+
+def test_irregular_3d_gmsh_end_to_end():
+    """The committed irregular 3D HEX mesh (graded + warped + jittered,
+    scripts/make_irregular_msh.py --3d) runs the coupled solver through
+    the generic per-element-Jacobian path: read -> FSS steps, converged,
+    finite, physically bounded."""
+    data = read_input_file("configs/consolidation_3d.data")
+    mesh = read_msh("configs/irregular_3d.msh", dim=3)
+    assert mesh.n_cells == 210
+    # irregularity: most cells are not axis-aligned boxes
+    c = mesh.vertices[mesh.cells]
+    e1 = c[:, 1] - c[:, 0]
+    box = (np.abs(e1[:, 1]) < 1e-12) & (np.abs(e1[:, 2]) < 1e-12)
+    assert box.sum() < 0.5 * mesh.n_cells
+    disc = build_discretization(mesh, data)
+    solver = FixedStressSolver(disc, data)
+    st = solver.initial_state()
+    for _ in range(2):
+        st, stats = solver.time_step(st, data.time_step)
+    assert np.isfinite(float(stats.pressure_error))
+    assert float(stats.pressure_error) <= data.fss_tol
+    p = np.asarray(st.p)
+    assert np.isfinite(p).all() and p.min() > 0.9e7 and p.max() < 1.3e7
