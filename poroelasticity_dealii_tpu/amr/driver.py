@@ -73,6 +73,18 @@ class AMRSimulationRunner:
 
     def _rebuild(self):
         self.disc = build_amr_discretization(self.forest, self.data)
+        sharding = getattr(self.data, "sharding", "none")
+        if sharding == "psum":
+            # the one decomposition that supports hanging-node constraints
+            # (tests/test_sharding.py::test_sharded_amr_mesh_1_vs_8);
+            # re-applied after every remesh
+            from ..models.runner import _apply_sharding
+            self.disc = _apply_sharding(self.disc, self.data)
+        elif sharding != "none":
+            raise NotImplementedError(
+                f"'TPU / Sharding = {sharding}' with AMR — only 'psum' "
+                "supports hanging-node constraints (ghost/gspmd/production "
+                "require conforming/structured meshes)")
         self.solver = FixedStressSolver(self.disc, self.data)
 
     def _remesh(self, state: State) -> State:

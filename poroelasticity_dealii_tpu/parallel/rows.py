@@ -80,7 +80,6 @@ def make_row_ops_sharded(element_matrix: np.ndarray, n: int, free_mask_u,
     kernel = make_pallas_apply_rows(element_matrix, n, dtype, tc=tc,
                                     interpret=interpret, nz=Lz)
     spec = NamedSharding(device_mesh, P(CELL_AXIS, None))
-    rep = NamedSharding(device_mesh, P())
 
     def shard(R):
         return lax.with_sharding_constraint(R, spec)
@@ -138,35 +137,21 @@ def make_row_ops_sharded(element_matrix: np.ndarray, n: int, free_mask_u,
 
 
 def shard_production_discretization(disc, device_mesh):
-    """Shard the production ConvGridDiscretization: GSPMD slab constraint
-    on the conv/slice stencils (as :func:`.sharding.shard_grid_discretization`)
-    PLUS z-slab shard_map row ops for the Pallas mechanics path.
+    """Shard the production ConvGridDiscretization: GSPMD slab constraints
+    on the conv/slice stencils (delegated to
+    :func:`.sharding.shard_grid_discretization`) PLUS z-slab shard_map row
+    ops for the Pallas mechanics path.
 
     Requires the row-ops-eligible configuration (3D Q2 equal-axis grid with
     ``row_ops`` built).
     """
-    from ..solvers.structured import ConvGridDiscretization
+    from .sharding import shard_grid_discretization
 
-    if not isinstance(disc, ConvGridDiscretization):
-        raise TypeError("production sharding requires the conv backend")
     if disc.row_ops is None:
         raise ValueError(
             "production sharding needs row_ops (3D Q2 equal-axis grid with "
             "elasticity_backend='pallas' or TPU auto)")
-    dim = disc.dim
-    spec = NamedSharding(device_mesh, P(CELL_AXIS, *([None] * dim)))
-
-    def wrap(fn, gs, n_comp):
-        shape = tuple(reversed(gs)) + (n_comp,)     # (z, y, x, comp)
-
-        def inner(x, *a):
-            X = x.reshape(shape)
-            X = lax.with_sharding_constraint(X, spec)
-            return fn(X.reshape(-1), *a)
-        return inner
-
-    gp = disc.info_p.nodes_per_axis
-    gu = disc.info_u.nodes_per_axis
+    base = shard_grid_discretization(disc, device_mesh)  # stencils + hook
     interpret = jax.default_backend() != "tpu"
     n = disc.info_u.cells_per_axis[0]
     row_ops = make_row_ops_sharded(
@@ -174,21 +159,4 @@ def shard_production_discretization(disc, device_mesh):
         device_mesh, dtype=disc.dtype, interpret=interpret,
         coupling_matrix=disc.element_ce,
         projection_matrix=disc.element_pe)
-
-    def wrap_proj(fn):
-        def inner(u):
-            X = u.reshape(tuple(reversed(gu)) + (dim,))
-            X = lax.with_sharding_constraint(X, spec)
-            return fn(X.reshape(-1))
-        return inner
-
-    return dataclasses.replace(
-        disc,
-        stencil_mass=wrap(disc.stencil_mass, gp, 1),
-        stencil_laplace=wrap(disc.stencil_laplace, gp, 1),
-        stencil_elasticity=wrap(disc.stencil_elasticity, gu, dim),
-        stencil_coupling=wrap(disc.stencil_coupling, gp, 1),
-        stencil_projection=wrap_proj(disc.stencil_projection),
-        wrap_pressure_stencil=lambda st: wrap(st, gp, 1),
-        row_ops=row_ops,
-    )
+    return dataclasses.replace(base, row_ops=row_ops)

@@ -162,8 +162,13 @@ def shard_grid_discretization(disc, device_mesh: DeviceMesh):
         stencil_elasticity=wrap(disc.stencil_elasticity, gu, dim),
         stencil_coupling=wrap(disc.stencil_coupling, gp, 1),
         stencil_projection=wrap(disc.stencil_projection, gu, dim),
-        # the Pallas row-layout kernel is single-chip; the sharded solve
-        # must use the GSPMD-partitioned conv stencils
+        # stencils built AFTER construction (the per-dt fused pressure
+        # Jacobian — the pressure CG's hot operator) get the same slab
+        # constraint through this hook
+        wrap_pressure_stencil=lambda st: wrap(st, gp, 1),
+        # the plain Pallas row-layout kernel is single-chip; this mode
+        # uses the GSPMD-partitioned conv stencils (parallel/rows.py
+        # re-adds z-slab-sharded row ops on top of this function)
         row_ops=None,
     )
 

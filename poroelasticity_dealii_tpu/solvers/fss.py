@@ -597,10 +597,24 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             return out
 
         n_voigt = len(VOIGT_PAIRS[dim])
+        # the FSS loop's first-iteration decision is STATIC: err starts at
+        # exactly 2*pressure_tol (:345).  In the normal regime
+        # (fss_tol < 2*pressure_tol) the loop runs >= 1 iteration and the
+        # end-of-step shear solve reuses its final proj_rhs, so the zeros
+        # initializer is never consumed.  In the degenerate configuration
+        # (fss_tol >= 2*pressure_tol: zero FSS iterations possible) the
+        # real RHS must be assembled here or the shear projection would
+        # solve against zeros and silently wipe the shear strains
+        # (round-3 review finding, reproduced).
+        if data.fss_tol >= 2.0 * data.pressure_tol:
+            init_proj_rhs = self._projection_rhs(
+                state.u, u_rows=(state.u_rows if rows_active else None))
+        else:
+            init_proj_rhs = jnp.zeros((n_voigt, d.n_pdofs), d.dtype)
         carry = dict(
             p=state.p, eps_v=state.eps_v,
             vol_strains=state.strains[jnp.asarray(vol)],
-            proj_rhs=jnp.zeros((n_voigt, d.n_pdofs), d.dtype),
+            proj_rhs=init_proj_rhs,
             err=jnp.asarray(2.0 * data.pressure_tol, d.dtype),  # :345
             fss_iter=jnp.int32(0),
             press_total=jnp.int32(0), cg_p=jnp.int32(0), cg_u=jnp.int32(0),
@@ -627,10 +641,10 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         cg_proj = c["cg_proj"]
         cg_ok = c["cg_ok"]
         if shear:
-            # the FSS loop always runs >= 1 iteration (err starts at
-            # 2*pressure_tol > fss_tol, same as the reference's :345), so
-            # c["proj_rhs"] is the final iteration's all-Voigt RHS for the
-            # SAME u — no reassembly
+            # c["proj_rhs"] is the final FSS iteration's all-Voigt RHS for
+            # the SAME u (no reassembly); if the loop can run zero
+            # iterations (fss_tol >= 2*pressure_tol) the carry was seeded
+            # with the real RHS above
             shear_strains, cg_sh, ok_sh = self._project(
                 None, shear, state.strains[jnp.asarray(shear)],
                 rhs_all=c["proj_rhs"])

@@ -180,3 +180,29 @@ def test_bc_superposition_warm_start():
     a_same, _ = solver.time_step(st0, data.time_step, 1.1,
                                  bc_scale_prev=1.1)
     np.testing.assert_allclose(np.asarray(a_same.p), np.asarray(a_plain.p))
+
+
+def test_shear_strains_survive_zero_fss_iterations():
+    """Degenerate tolerance configuration (fss_tol >= 2*pressure_tol): the
+    FSS loop can run ZERO iterations, and the end-of-step shear projection
+    must then assemble its RHS from the real u instead of consuming the
+    loop-carry initializer (round-3 review finding: the cached-RHS reuse
+    silently wiped state.strains[shear] to ~0 in this regime)."""
+    import dataclasses
+    data = read_input_file(GOLDEN)
+    data = dataclasses.replace(data, fss_tol=1e-4, pressure_tol=1e-9)
+    assert data.fss_tol >= 2.0 * data.pressure_tol
+    mesh = hyper_rectangle(data.domain_size, 3)
+    disc = build_discretization(mesh, data)
+    solver = FixedStressSolver(disc, data)
+    st = solver.initial_state()
+    st, _ = solver.time_step(st, data.time_step)   # establish strains
+    from poroelasticity_dealii_tpu.ops.operators import SHEAR_ENTRIES
+    shear = SHEAR_ENTRIES[2]
+    before = np.linalg.norm(np.asarray(st.strains[np.asarray(shear)]))
+    assert before > 0
+    st2, stats = solver.time_step(st, data.time_step)
+    after = np.linalg.norm(np.asarray(st2.strains[np.asarray(shear)]))
+    # the field must stay at the same physical magnitude (tiny drift ok),
+    # not collapse toward the zero RHS's solution
+    assert after > 0.5 * before, (before, after)
