@@ -225,3 +225,29 @@ def test_amr_checkpoint_resume(tmp_path):
                                np.asarray(state_full.p), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(state_res.eps_v),
                                np.asarray(state_full.eps_v), rtol=1e-10)
+
+
+def test_amr_runner_applies_psum_sharding(tmp_path):
+    """'TPU / Sharding = psum' reaches the AMR driver (round-3 review
+    finding: it was silently ignored): the built discretization is the
+    sharded one, re-applied after remeshes; other modes raise."""
+    import dataclasses
+
+    from poroelasticity_dealii_tpu.amr.driver import AMRSimulationRunner
+    from poroelasticity_dealii_tpu.parallel.sharding import \
+        ShardedDiscretization
+    data = read_input_file(GOLDEN)
+    data = dataclasses.replace(
+        data, amr=True, refine_every=2, output_vtk=False,
+        initial_refinement_level=2, t_max=3 * data.time_step,
+        output_directory=str(tmp_path), sharding="psum", n_devices=8)
+    runner = AMRSimulationRunner(data)
+    assert isinstance(runner.disc, ShardedDiscretization)
+    state, history = runner.run()
+    assert isinstance(runner.disc, ShardedDiscretization)  # post-remesh
+    assert np.isfinite(np.asarray(state.p)).all()
+    assert len(history) == 3
+
+    data_bad = dataclasses.replace(data, sharding="ghost")
+    with pytest.raises(NotImplementedError):
+        AMRSimulationRunner(data_bad)
