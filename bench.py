@@ -93,13 +93,14 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag=""):
 
     t0 = time.perf_counter()
     state, stats = solver.time_step(state, data.time_step, 1.0 + bc_rate,
-                                    bc_scale_prev=1.0)
+                                    bc_scale_prev=1.0, want_u=False)
     # second warm step: initial_state carries None for the derived caches
     # (u_rows, mech_b), so the first step compiles the None-variant and
     # the second the arrays-variant — both must be compiled before timing
     state, stats = solver.time_step(state, data.time_step,
                                     1.0 + 2 * bc_rate,
-                                    bc_scale_prev=1.0 + bc_rate)
+                                    bc_scale_prev=1.0 + bc_rate,
+                                    want_u=False)
     state.p.block_until_ready()
     print(f"# {tag}first steps (incl. compile): "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
@@ -112,7 +113,8 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag=""):
         bc_scale = 1.0 + bc_rate * (i + 3)
         t0 = time.perf_counter()
         state, stats = solver.time_step(state, data.time_step, bc_scale,
-                                        bc_scale_prev=1.0 + bc_rate * (i + 2))
+                                        bc_scale_prev=1.0 + bc_rate * (i + 2),
+                                        want_u=False)
         state.p.block_until_ready()
         times.append(time.perf_counter() - t0)
         mech_cg.append(int(stats.mech_cg_iterations))
@@ -143,7 +145,8 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag=""):
         bc_scale = 1.0 + bc_rate * (s0 + i)
         state, stats = solver.time_step(state, data.time_step, bc_scale,
                                         bc_scale_prev=1.0
-                                        + bc_rate * (s0 + i - 1))
+                                        + bc_rate * (s0 + i - 1),
+                                        want_u=False)
     state.p.block_until_ready()
     chained = max(time.perf_counter() - t0 - rtt, 1e-9) / n_chain
     assert np.isfinite(float(stats.pressure_error))
@@ -264,7 +267,8 @@ def breakdown(data, disc, solver, quiet=False):
     rng = np.random.default_rng(0)
     p = jnp.asarray(rng.standard_normal(disc.n_pdofs), disc.dtype)
     u = jnp.asarray(rng.standard_normal(disc.n_udofs), disc.dtype)
-    solver.time_step(solver.initial_state(), dt)   # warm per-dt caches
+    solver.time_step(solver.initial_state(), dt,
+                     want_u=False)        # warm per-dt caches
     fns = {
         "mass_apply": (lambda x: disc.mass(x), p),
         "laplace_apply": (lambda x: disc.laplace(x), p),

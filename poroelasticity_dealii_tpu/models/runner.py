@@ -162,15 +162,18 @@ class SimulationRunner:
         while t < data.t_max:
             t += dt
             step += 1
+            # only steps some host consumer (VTK, checkpoint) will read
+            # pay for the flat-u materialization (want_u); pure compute
+            # steps keep u in the row layout end to end
+            needed = bool(data.output_vtk
+                          or (data.checkpoint_every
+                              and step % data.checkpoint_every == 0))
             t0 = time.perf_counter()
-            state, stats = self.solver.time_step(state, dt)
+            state, stats = self.solver.time_step(state, dt, want_u=needed)
             if sync_every == 1:
                 # default: block per step so wall times are per-step exact
                 state.p.block_until_ready()
             wall = time.perf_counter() - t0
-            needed = (data.output_vtk
-                      or (data.checkpoint_every
-                          and step % data.checkpoint_every == 0))
             pending.append((step, t, stats, state if needed else None, wall))
             if step % sync_every == 0:
                 flush(state)
@@ -178,7 +181,7 @@ class SimulationRunner:
         if data.checkpoint_format == "orbax":
             wait_for_checkpoints()   # async saves must be durable on exit
         self.logger.close()
-        return state
+        return self.solver.materialize_u(state)
 
 
 def run_from_data(data: InputData, resume_from: Optional[str] = None) -> State:

@@ -75,7 +75,9 @@ class State(NamedTuple):
     """Minimal restart state (what the reference's SolutionTransfer carries
     across mesh changes, PoroelasticityFSS.h:474-497, plus u and strains)."""
     p: jnp.ndarray        # pressure (n_pdofs,)
-    u: jnp.ndarray        # displacement (n_udofs,)
+    u: jnp.ndarray        # displacement (n_udofs,); None after a
+    #                       want_u=False rows-path step (recover with
+    #                       FixedStressSolver.materialize_u)
     eps_v: jnp.ndarray    # volumetric strain (n_pdofs,)
     eps_v0: jnp.ndarray   # initial volumetric strain (n_pdofs,)
     strains: jnp.ndarray  # (n_voigt, n_pdofs) projected strain components
@@ -422,7 +424,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
     # ---------------- one full time step (jitted) ---------------------------
 
     def time_step(self, state: State, dt, bc_scale=1.0,
-                  bc_scale_prev=None):
+                  bc_scale_prev=None, want_u=True):
         """One Δt: FSS outer loop over (pressure inner loop, mechanics solve,
         normal-strain projection), then shear strains — all on-chip.
         ``bc_scale`` scales Dirichlet displacement values (traced);
@@ -431,30 +433,58 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         ``dt`` is static (one compile per distinct time step), which lets
         the pressure Jacobian fold into a single conv stencil.
 
+        ``want_u`` (static): on the rows production path the displacement
+        lives in the comp-major row layout for the whole step; the flat
+        ``State.u`` exists only for host consumers (VTK, checkpoints,
+        analytics).  ``want_u=False`` skips that ``from_rows`` transpose
+        (~1.5 ms/step at 1.66M DOF) and returns ``u=None`` — call
+        :meth:`materialize_u` at an output boundary to recover it.  On
+        non-rows backends the flag is a no-op (``u`` is always returned).
+
         This host wrapper warms the per-dt caches (fused Jacobian stencil,
         pressure multigrid — their construction runs eager device code like
         power iterations that must not happen inside a trace)."""
         if isinstance(dt, (int, float)):
             self._fused_jacobian_stencil(dt)
             self._pressure_precond(dt)
+        ro = getattr(self.disc, "row_ops", None)
+        rows_active = _rows_ready(ro)
+        if rows_active:
+            # normalize the input pytree: u_rows is the authoritative
+            # layout through the step; dropping the (redundant) flat u
+            # keeps ONE input structure regardless of whether the caller's
+            # state came from initial_state (u set), a checkpoint (u set,
+            # u_rows None) or a prior want_u=False step (u None)
+            if state.u_rows is None:
+                state = state._replace(u_rows=ro.to_rows(state.u))
+            if state.u is not None:
+                state = state._replace(u=None)
         if bc_scale_prev is not None and bc_scale_prev != bc_scale:
             # mechanics is linear, so du/d(bc_scale) is a fixed field:
             # superpose it onto the warm start and the mechanics CG only
             # works on the pressure-driven part of the update (host-side
             # pre-step; the jitted graph is unchanged)
             ds = bc_scale - bc_scale_prev
-            u_bc = self._bc_response()
-            u_rows = state.u_rows
-            if u_rows is not None:
-                # to_rows is linear: keep the row-layout cache in sync
-                ro = self.disc.row_ops
+            if rows_active:
+                # to_rows is linear: the response superposes in row layout
                 cached = self.__dict__.get("_bc_response_rows")
                 if cached is None:
-                    cached = jax.block_until_ready(ro.to_rows(u_bc))
+                    cached = jax.block_until_ready(
+                        ro.to_rows(self._bc_response()))
                     object.__setattr__(self, "_bc_response_rows", cached)
-                u_rows = u_rows + ds * cached
-            state = state._replace(u=state.u + ds * u_bc, u_rows=u_rows)
-        return self._time_step_impl(state, dt, bc_scale)
+                state = state._replace(u_rows=state.u_rows + ds * cached)
+            else:
+                state = state._replace(
+                    u=state.u + ds * self._bc_response())
+        return self._time_step_impl(state, dt, bc_scale, want_u)
+
+    def materialize_u(self, state: State) -> State:
+        """Fill ``state.u`` from the row-layout cache after a
+        ``want_u=False`` step (one transpose; no-op when already flat)."""
+        if state.u is not None:
+            return state
+        return state._replace(
+            u=self.disc.row_ops.from_rows(state.u_rows))
 
     def _bc_response(self):
         """du/d(bc_scale): the constrained elasticity solve against the
@@ -487,8 +517,8 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         object.__setattr__(self, "_bc_response_cache", u_bc)
         return u_bc
 
-    @partial(jax.jit, static_argnums=(0, 2))
-    def _time_step_impl(self, state: State, dt, bc_scale=1.0):
+    @partial(jax.jit, static_argnums=(0, 2, 4))
+    def _time_step_impl(self, state: State, dt, bc_scale=1.0, want_u=True):
         d, data = self.disc, self.data
         dim = d.dim
         vol = VOLUMETRIC_ENTRIES[dim]
@@ -652,7 +682,10 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             cg_proj = cg_proj + cg_sh
             cg_ok = cg_ok & ok_sh
 
-        u_final = (ro.from_rows(c["u_rows"]) if rows_active else c["u"])
+        if rows_active:
+            u_final = ro.from_rows(c["u_rows"]) if want_u else None
+        else:
+            u_final = c["u"]
         # keep the stored eps_v0 = the t=0 strain in BOTH modes (in resync
         # mode the per-step reference strain is the local eps_v0 variable;
         # the State field must not drift — it feeds quirk-mode restarts and

@@ -220,3 +220,48 @@ def test_fused_constrained_apply_matches_composed(n, tc):
     got = fused(R)
     err = np.abs(np.asarray(got - ref)).max() / np.abs(np.asarray(ref)).max()
     assert err < 1e-6, err
+
+
+def test_deferred_u_rows_residency():
+    """want_u=False keeps u in the row layout across steps (State.u is
+    None — no per-step from_rows transpose) and the deferred chain is
+    bitwise identical to the eager one; materialize_u recovers the flat
+    vector, and the bc-ramp superposition warm start works on the
+    rows-only state (round-3 'finish the row-layout residency' item)."""
+    import dataclasses
+
+    from poroelasticity_dealii_tpu.solvers import FixedStressSolver
+    data = read_input_file(DECK)
+    data = dataclasses.replace(
+        data, dtype="float32", fss_tol=1e-4, pressure_tol=1e-4,
+        mech_cg_tol=1e-5, mech_cg_relative=True,
+        pressure_cg_tol=1e-5, projection_cg_tol=1e-5)
+    disc = build_grid_discretization(data, cells_per_axis=4,
+                                     multigrid="off",
+                                     elasticity_backend="pallas")
+    solver = FixedStressSolver(disc, data)
+    s0 = solver.initial_state()
+    dt = data.time_step
+    sA, _ = solver.time_step(s0, dt)                    # eager (default)
+    sB, _ = solver.time_step(s0, dt, want_u=False)      # deferred
+    assert sB.u is None
+    np.testing.assert_array_equal(np.asarray(sB.p), np.asarray(sA.p))
+    np.testing.assert_array_equal(
+        np.asarray(solver.materialize_u(sB).u), np.asarray(sA.u))
+    # the deferred state feeds the next step unchanged (structure is
+    # normalized in the host wrapper, so no extra compile variants)
+    sC, _ = solver.time_step(sB, dt, want_u=False)
+    sD, _ = solver.time_step(sA, dt, want_u=False)
+    np.testing.assert_array_equal(np.asarray(sC.p), np.asarray(sD.p))
+    np.testing.assert_array_equal(
+        np.asarray(solver.materialize_u(sC).u),
+        np.asarray(solver.materialize_u(sD).u))
+    # linear-superposition bc ramp on a u=None state
+    sE, _ = solver.time_step(sB, dt, bc_scale=1.1, bc_scale_prev=1.0,
+                             want_u=False)
+    sF, _ = solver.time_step(sA, dt, bc_scale=1.1, bc_scale_prev=1.0)
+    np.testing.assert_array_equal(np.asarray(sE.p), np.asarray(sF.p))
+    np.testing.assert_array_equal(
+        np.asarray(solver.materialize_u(sE).u), np.asarray(sF.u))
+    # materialize_u is a no-op on an eager state
+    assert solver.materialize_u(sA) is sA
