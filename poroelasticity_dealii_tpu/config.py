@@ -181,9 +181,6 @@ _SCHEMA = {
     # PoroElasticPressureSolver.h:175 / StrainProjector.h:209 rel 1e-8)
     ("TPU", "Mechanics CG tolerance"): ("1e-12", _dbl(0)),
     ("TPU", "Mechanics CG relative"): ("false", _str({"true", "false"})),
-    # linear-in-time warm-start extrapolation for the mechanics CG
-    # (rows path; affects iteration counts only, never solutions)
-    ("TPU", "Extrapolate warm start"): ("true", _str({"true", "false"})),
     ("TPU", "Pressure CG tolerance"): ("1e-8", _dbl(0)),
     ("TPU", "Projection CG tolerance"): ("1e-8", _dbl(0)),
     ("TPU", "CG max iterations"): ("1000", _int(1)),
@@ -273,7 +270,6 @@ class InputData:
     amr: bool = False
     mech_cg_tol: float = 1e-12
     mech_cg_relative: bool = False
-    extrapolate_warm_start: bool = True
     pressure_cg_tol: float = 1e-8
     projection_cg_tol: float = 1e-8
     cg_max_iterations: int = 1000
@@ -372,8 +368,6 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
         amr=vals[("TPU", "AMR")] == "true",
         mech_cg_tol=vals[("TPU", "Mechanics CG tolerance")],
         mech_cg_relative=vals[("TPU", "Mechanics CG relative")] == "true",
-        extrapolate_warm_start=(
-            vals[("TPU", "Extrapolate warm start")] == "true"),
         pressure_cg_tol=vals[("TPU", "Pressure CG tolerance")],
         projection_cg_tol=vals[("TPU", "Projection CG tolerance")],
         cg_max_iterations=vals[("TPU", "CG max iterations")],

@@ -237,7 +237,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
     # ---------------- mechanics solve ---------------------------------------
 
     def _mechanics_solve(self, p, u_warm, bc_scale=1.0, u_warm_rows=None,
-                         b_prev=None, u_extrap_rows=None):
+                         b_prev=None):
         """Elasticity solve with pressure-coupling RHS + traction + Dirichlet
         (PoroElasticDisplacementSolver.h:155-307).  Body force follows the
         reference's effective default: zero (gravity quirk, SURVEY §2.1.2).
@@ -258,14 +258,6 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         compiler segfault on the cond(while(while)) nesting inside the
         FSS loop; the tolerance lift expresses the same thing with no
         extra control flow.)
-
-        ``u_extrap_rows`` (optional, traced; rows path only): warm-start
-        increment added to the free entries of x0 — the previous step's
-        pressure-driven displacement delta, i.e. a linear-in-time
-        extrapolation of the solution (:meth:`time_step` computes it).
-        It perturbs ONLY the CG starting point, never the solution, and
-        is suppressed when the RHS is bitwise-unchanged so the skip path
-        still returns the exact previous solution.
 
         Returns ``(u_flat_or_None, iters, converged, stalled, u_rows, b)``.
         """
@@ -299,18 +291,6 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                          else row_ops.to_rows(u_warm))
             x0_rows = m * warm_rows \
                 + (1.0 - m) * (bc_scale * self._dirichlet_rows)
-            if u_extrap_rows is not None:
-                # gate on RHS-changed: when b is bitwise-unchanged the
-                # tolerance-lift skip returns x0 AS the solution, so x0
-                # must then be exactly the previous solution, not an
-                # extrapolated guess (XLA CSEs this all() with
-                # maybe_solve's)
-                changed = (jnp.asarray(1.0, d.dtype)
-                           if b_prev is None else
-                           jnp.where(jnp.all(b_rows == b_prev),
-                                     jnp.asarray(0.0, d.dtype),
-                                     jnp.asarray(1.0, d.dtype)))
-                x0_rows = x0_rows + changed * (m * u_extrap_rows)
 
             def solve(b, x0, unchanged):
                 tol = jnp.asarray(data.mech_cg_tol, d.dtype)
@@ -479,17 +459,6 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 state = state._replace(u_rows=ro.to_rows(state.u))
             if state.u is not None:
                 state = state._replace(u=None)
-        # linear-in-time warm-start extrapolation (rows path): the stash
-        # holds (last step's post-superposition INPUT u_rows, its OUTPUT
-        # u_rows) — both at that step's bc_scale, so their difference is
-        # exactly the pressure-driven displacement increment.  Identity
-        # check (`is`) proves the caller is continuing from the stashed
-        # step; any restart/resume/remesh breaks it and the stash resets.
-        u_extrap = None
-        hist = self.__dict__.get("_warm_hist")
-        if (rows_active and self.data.extrapolate_warm_start
-                and hist is not None and state.u_rows is hist[1]):
-            u_extrap = hist[1] - hist[0]
         if bc_scale_prev is not None and bc_scale_prev != bc_scale:
             # mechanics is linear, so du/d(bc_scale) is a fixed field:
             # superpose it onto the warm start and the mechanics CG only
@@ -507,12 +476,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             else:
                 state = state._replace(
                     u=state.u + ds * self._bc_response())
-        out, stats = self._time_step_impl(state, dt, bc_scale, want_u,
-                                          u_extrap)
-        if rows_active:
-            object.__setattr__(self, "_warm_hist",
-                               (state.u_rows, out.u_rows))
-        return out, stats
+        return self._time_step_impl(state, dt, bc_scale, want_u)
 
     def materialize_u(self, state: State) -> State:
         """Fill ``state.u`` from the row-layout cache after a
@@ -554,8 +518,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         return u_bc
 
     @partial(jax.jit, static_argnums=(0, 2, 4))
-    def _time_step_impl(self, state: State, dt, bc_scale=1.0, want_u=True,
-                        u_extrap_rows=None):
+    def _time_step_impl(self, state: State, dt, bc_scale=1.0, want_u=True):
         d, data = self.disc, self.data
         dim = d.dim
         vol = VOLUMETRIC_ENTRIES[dim]
@@ -627,17 +590,10 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             delta_p = jnp.zeros_like(c["p"])  # reset per FSS iteration (:356)
             p, eps_v, delta_p, err_p, n_press, cg_p, ok_p = pressure_inner(
                 c["p"], c["eps_v"], delta_p)
-            extrap = None
-            if rows_active and u_extrap_rows is not None:
-                # first FSS iteration only: later iterations warm-start
-                # from the inner solution, which is already converged past
-                # any extrapolation
-                gate = (c["fss_iter"] == 0).astype(d.dtype)
-                extrap = gate * u_extrap_rows
             u, cg_u, ok_u, st_u, u_rows, mech_b = self._mechanics_solve(
                 p, c.get("u"), bc_scale,
                 u_warm_rows=c.get("u_rows") if rows_active else None,
-                b_prev=c["mech_b"], u_extrap_rows=extrap)
+                b_prev=c["mech_b"])
             rhs_all = self._projection_rhs(
                 u, u_rows=u_rows if rows_active else None)
             vol_strains, cg_proj, ok_pr = self._project(
