@@ -284,7 +284,7 @@ def breakdown(data, disc, solver, quiet=False):
         R = ro.to_rows(u)
         fns["elasticity_apply_rows"] = (ro.apply_rows, R)
         fns["mech_cg_iteration"] = (       # what the solver actually loops:
-            lambda x: ro.constrained_apply(x), R)   # masked kernel apply
+            lambda x: ro.free_apply(x), R)  # v4 free-subspace kernel apply
         if ro.coupling_rows is not None:   # production in-step RHS forms
             fns["coupling_rhs_rows"] = (ro.coupling_rows, p)
         if ro.projection_rows is not None:

@@ -503,6 +503,156 @@ def _kernel_v3(nv_ref, rows_hbm, mask_hbm, ke_ref, lmask_ref, out_ref,
         out_ref[0:24, :] = carry[...] * m24 + x24 * (1.0 - m24)
 
 
+def _kernel_v4(nv_ref, rows_hbm, mask_hbm, ke_ref, lmask_ref, out_ref,
+               scratch, mscratch, carry, sem, msem, *, n: int, tc: int,
+               W: int, n_blocks: int):
+    """v3 minus the input-side Dirichlet masking: computes ``y = m * A(x)``
+    for inputs that are ALREADY in the free subspace (zero at constrained
+    rows and padding — the invariant every CG direction vector satisfies
+    when b and x0 carry the Dirichlet values, see cg.cg_solve(apply_iter)).
+
+    Dropping the per-interval ``x * m`` multiplies removes ~81 masked row
+    reads per cell layer from the gather (the kernel's measured bottleneck
+    is the per-layer VMEM shuffle); the output finalize keeps the single
+    in-VMEM ``out * m`` per tile, which both zeroes constrained rows and
+    restores the padding-zero invariant.  For free-subspace inputs this is
+    bitwise equal to `_kernel_v3` (``m*x == x`` makes A's operand identical
+    and ``(1-m)*x == 0`` makes the affine term vanish).
+    """
+    k = pl.program_id(0)
+    parity = lambda j: jax.lax.bitwise_and(j, jnp.int32(1))  # noqa: E731
+
+    def get_dma(buf, hbm, s, slot, j):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(j * tc * 24, (tc + 1) * 24)], buf.at[slot],
+            s.at[slot])
+
+    @pl.when(k == 0)
+    def _():
+        get_dma(scratch, rows_hbm, sem, jnp.int32(0), jnp.int32(0)).start()
+        get_dma(mscratch, mask_hbm, msem, jnp.int32(0), jnp.int32(0)).start()
+
+    @pl.when(k + 1 < n_blocks)
+    def _():
+        get_dma(scratch, rows_hbm, sem, parity(k + 1), k + 1).start()
+        get_dma(mscratch, mask_hbm, msem, parity(k + 1), k + 1).start()
+
+    @pl.when(k < n_blocks)
+    def _compute():
+        get_dma(scratch, rows_hbm, sem, parity(k), k).wait()
+        get_dma(mscratch, mask_hbm, msem, parity(k), k).wait()
+        sl = scratch.at[parity(k)]
+        msl = mscratch.at[parity(k)]
+
+        Lc = n * (n + 1)
+        plan, _ = _interval_plan(n)
+        m = lmask_ref[...]                              # (1, W) lane mask
+        Kp = ke_ref[...]
+
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[0:24, :] += carry[...]
+        carry[...] = jnp.zeros_like(carry)
+
+        for zr in range(tc):                            # cell layer
+            ye = None
+            for (shift, col0, ivs) in plan:
+                parts = [sl[(zr + dz) * 24 + r0:(zr + dz) * 24 + r0 + cnt,
+                            shift:shift + Lc]
+                         for (dz, r0, cnt) in ivs]
+                U_s = parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=0)
+                ncols = sum(cnt for (_, _, cnt) in ivs)
+                K_s = Kp[:, col0:col0 + ncols]
+                part = jnp.dot(K_s, U_s,
+                               preferred_element_type=out_ref.dtype,
+                               precision=jax.lax.Precision.HIGHEST)
+                ye = part if ye is None else ye + part
+            ye = ye * m[:, :Lc]                         # phantom columns
+            valid = (k * tc + zr < nv_ref[0]).astype(out_ref.dtype)
+            ye = ye * valid                             # phantom layers
+            row = 0
+            for (shift, col0, ivs) in plan:
+                for (dz, r0, cnt) in ivs:
+                    blk = ye[row:row + cnt]
+                    row += cnt
+                    if zr + dz < tc:
+                        r = (zr + dz) * 24 + r0
+                        out_ref[r:r + cnt, shift:shift + Lc] += blk
+                    else:                               # zr=tc-1, dz=1
+                        carry[r0:r0 + cnt, shift:shift + Lc] += blk
+        # finalize THIS tile: y = m * A(x)
+        out_ref[...] = out_ref[...] * msl[0:tc * 24, :]
+
+    @pl.when(k == n_blocks)
+    def _flush():
+        slot = parity(jnp.int32(n_blocks - 1))
+        m24 = mscratch[slot, tc * 24:(tc + 1) * 24, :]
+        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[0:24, :] = carry[...] * m24
+
+
+def make_pallas_free_apply(element_matrix: np.ndarray, n: int,
+                           free_mask_rows, dtype=jnp.float32,
+                           tc: int = 4, interpret: bool = False):
+    """Free-subspace elasticity apply ``R -> m*A(R)`` in ONE pallas_call
+    (see `_kernel_v4`).  CALLER CONTRACT: R must be zero at constrained
+    rows and padding (every CG direction vector is, when b/x0 carry the
+    Dirichlet values) — then this equals
+    :func:`make_pallas_constrained_apply`'s ``m*A(m R) + (1-m) R``
+    bitwise, one input-mask pass cheaper per call."""
+    W = _width(n)
+    _, perm = _interval_plan(n)
+    Kp = np.asarray(element_matrix)[np.ix_(perm, perm)]
+    Ke = jnp.asarray(Kp, dtype)
+    lane = cell_lane_mask(n, dtype)
+    lmask = jnp.zeros((1, W), dtype).at[0, :lane.shape[0]].set(lane)
+    tc = min(tc, n)
+    n_blocks = math.ceil(n / tc)
+    zh_pad = n_blocks * tc + 1
+    kern = partial(_kernel_v4, n=n, tc=tc, W=W, n_blocks=n_blocks)
+    pad_rows_n = (zh_pad - (n + 1)) * 24
+    mask_padded = jnp.pad(jnp.asarray(free_mask_rows, dtype),
+                          ((0, pad_rows_n), (0, 0)))
+
+    zero1 = lambda k: (jnp.int32(0),)                      # noqa: E731
+    zero2 = lambda k: (jnp.int32(0), jnp.int32(0))         # noqa: E731
+    outmap = lambda k: (k, jnp.int32(0))                   # noqa: E731
+    nv = jnp.full((1,), n, jnp.int32)
+
+    @jax.jit
+    def free_apply(R):
+        Rp = jnp.pad(R, ((0, pad_rows_n), (0, 0)))
+        out = pl.pallas_call(
+            kern,
+            grid=(n_blocks + 1,),
+            in_specs=[
+                pl.BlockSpec((1,), zero1, memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((81, 81), zero2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, W), zero2, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tc * 24, W), outmap,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                ((n_blocks + 1) * tc * 24, W), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, (tc + 1) * 24, W), dtype),
+                pltpu.VMEM((2, (tc + 1) * 24, W), dtype),
+                pltpu.VMEM((24, W), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(nv, Rp, mask_padded, Ke, lmask)
+        return out[:(n + 1) * 24]
+
+    return free_apply
+
+
 def make_pallas_constrained_apply(element_matrix: np.ndarray, n: int,
                                   free_mask_rows, dtype=jnp.float32,
                                   tc: int = 4, interpret: bool = False):
@@ -693,6 +843,7 @@ class ElasticityRowOps:
     coupling_rows: object = None  # p -> coupling RHS directly in rows
     projection_rows: object = None  # u rows -> (C, n_pdofs) strain RHS
     fused_constrained: object = None  # single-kernel m*A(mx)+(1-m)x (v3)
+    fused_free: object = None    # single-kernel m*A(x) for free-subspace x
 
     def constrained_apply(self, x):
         """Free-subspace restriction, same semantics as
@@ -705,6 +856,18 @@ class ElasticityRowOps:
         m = self.free_mask_rows
         y = self.apply_rows(x * m)
         return y * m + x * (1.0 - m)
+
+    def free_apply(self, x):
+        """``m * A(x)`` for x ALREADY in the free subspace (zero at
+        constrained rows/padding) — bitwise equal to
+        :meth:`constrained_apply` there, one input-mask pass cheaper
+        (the v4 kernel skips the 81 masked row reads per cell layer).
+        Used as cg_solve's per-iteration ``apply_iter``: every CG
+        direction vector satisfies the invariant when b/x0 carry the
+        Dirichlet values."""
+        if self.fused_free is not None:
+            return self.fused_free(x)
+        return self.constrained_apply(x)
 
 
 def make_row_ops(element_matrix: np.ndarray, n: int, free_mask_u,
@@ -735,10 +898,13 @@ def make_row_ops(element_matrix: np.ndarray, n: int, free_mask_u,
     fused = make_pallas_constrained_apply(element_matrix, n, mask_rows,
                                           dtype, tc=tc3,
                                           interpret=interpret)
+    free = make_pallas_free_apply(element_matrix, n, mask_rows, dtype,
+                                  tc=tc3, interpret=interpret)
     return ElasticityRowOps(n=n, apply_rows=apply_rows, to_rows=t,
                             from_rows=f, free_mask_rows=mask_rows,
                             diag_rows=diag_rows, coupling_rows=cr,
-                            projection_rows=pr, fused_constrained=fused)
+                            projection_rows=pr, fused_constrained=fused,
+                            fused_free=free)
 
 
 # ---------------------------------------------------------------------------

@@ -53,7 +53,8 @@ class CGResult(NamedTuple):
 def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
              diag: jnp.ndarray = None, tol: jnp.ndarray = 0.0,
              max_iter: int = 1000, precond: Callable = None,
-             precise_dots: bool = False) -> CGResult:
+             precise_dots: bool = False,
+             apply_iter: Callable = None) -> CGResult:
     """Solve ``A x = b`` with preconditioned CG.
 
     Args:
@@ -74,8 +75,20 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         Needed when a very strong preconditioner drives the true p·Ap into
         f32 cancellation territory; off by default since the emulated dots
         cost ~3 ms each at 1.66M dofs.
+      apply_iter: optional cheaper operator used for the PER-ITERATION
+        applies (on search directions p only).  Caller must guarantee it
+        equals ``apply_a`` on the Krylov subspace actually visited —
+        e.g. ElasticityRowOps.free_apply is bitwise-equal to
+        constrained_apply on free-subspace vectors, and every p is in the
+        free subspace when b/x0 carry the Dirichlet values (then
+        r0 = b - A x0 is exactly zero at constrained dofs, Jacobi/any
+        diagonal precond preserves those zeros, and p = z + beta p keeps
+        them inductively).  ``apply_a`` is still used for the one initial
+        residual evaluation on x0, which is NOT in the free subspace.
     """
     flexible = precond is not None
+    if apply_iter is None:
+        apply_iter = apply_a
     if precond is None:
         inv_diag = 1.0 / diag
         precond = lambda r: r * inv_diag  # noqa: E731
@@ -92,7 +105,7 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
 
     def body(state):
         k, x, r, r_prev, p, rz, rnorm = state
-        ap = apply_a(p)
+        ap = apply_iter(p)
         alpha = rz / dot(p, ap)
         x = x + alpha * p
         r_new = r - alpha * ap

@@ -296,10 +296,15 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 tol = jnp.asarray(data.mech_cg_tol, d.dtype)
                 if data.mech_cg_relative:
                     tol = tol * jnp.linalg.norm(b)
+                # per-iteration applies use the v4 free-subspace kernel
+                # (m*A(p), no input mask): b/x0 carry the Dirichlet values
+                # so every CG direction is exactly zero at constrained
+                # rows — bitwise-equal solve, one mask pass cheaper/iter
                 return cg_solve(row_ops.constrained_apply, b, x0,
                                 row_ops.diag_rows,
                                 tol=skip_tol(tol, unchanged),
-                                max_iter=data.cg_max_iterations)
+                                max_iter=data.cg_max_iterations,
+                                apply_iter=row_ops.free_apply)
 
             x, it, ok, st = maybe_solve(b_rows, x0_rows, solve)
             # u stays in rows — NO from_rows here: the projection RHS also

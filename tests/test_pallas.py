@@ -222,6 +222,59 @@ def test_fused_constrained_apply_matches_composed(n, tc):
     assert err < 1e-6, err
 
 
+@pytest.mark.parametrize("n,tc", [(4, 2), (5, 2), (6, 3)])
+def test_free_apply_matches_constrained_on_free_subspace(n, tc):
+    """v4 free-subspace kernel (no input mask) == the v3 constrained
+    apply on vectors that are zero at constrained rows/padding — the
+    invariant cg_solve's per-iteration directions satisfy (interpret
+    mode)."""
+    from poroelasticity_dealii_tpu.ops.pallas_comp_major import (
+        make_pallas_constrained_apply, make_pallas_free_apply, to_rows)
+    Ke, disc = _cm_setup(n)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal(disc.n_udofs), jnp.float32)
+    m = to_rows(jnp.asarray(disc.free_mask_u, jnp.float32), n)
+    p = to_rows(u, n) * m                       # free-subspace vector
+    fused = make_pallas_constrained_apply(Ke, n, m, jnp.float32, tc=tc,
+                                          interpret=True)
+    free = make_pallas_free_apply(Ke, n, m, jnp.float32, tc=tc,
+                                  interpret=True)
+    got, ref = np.asarray(free(p)), np.asarray(fused(p))
+    assert np.array_equal(got, ref), np.abs(got - ref).max()
+
+
+def test_cg_apply_iter_invariant():
+    """cg_solve(apply_iter=free_apply) returns the identical solve as the
+    plain constrained-apply CG when b/x0 carry the Dirichlet values (the
+    free-subspace invariant holds for every direction vector)."""
+    from poroelasticity_dealii_tpu.ops.pallas_comp_major import (
+        make_pallas_constrained_apply, make_pallas_free_apply, to_rows)
+    from poroelasticity_dealii_tpu.solvers.cg import cg_solve
+    n = 4
+    Ke, disc = _cm_setup(n)
+    rng = np.random.default_rng(2)
+    m = to_rows(jnp.asarray(disc.free_mask_u, jnp.float32), n)
+    ones = to_rows(jnp.ones(disc.n_udofs, jnp.float32), n)
+    diag = to_rows(jnp.asarray(disc.diag_elasticity, jnp.float32), n) \
+        + (1.0 - ones)
+    g = to_rows(jnp.asarray(
+        rng.standard_normal(disc.n_udofs), jnp.float32), n)
+    b = m * to_rows(jnp.asarray(
+        rng.standard_normal(disc.n_udofs), jnp.float32), n) + (1.0 - m) * g
+    x0 = (1.0 - m) * g
+    fused = make_pallas_constrained_apply(Ke, n, m, jnp.float32, tc=2,
+                                          interpret=True)
+    free = make_pallas_free_apply(Ke, n, m, jnp.float32, tc=2,
+                                  interpret=True)
+    tol = 1e-5 * float(jnp.linalg.norm(b))
+    ref = cg_solve(fused, b, x0, diag, tol=tol, max_iter=200)
+    got = cg_solve(fused, b, x0, diag, tol=tol, max_iter=200,
+                   apply_iter=free)
+    assert bool(ref.converged) and bool(got.converged)
+    assert int(ref.iterations) == int(got.iterations)
+    assert np.array_equal(np.asarray(ref.x), np.asarray(got.x))
+
+
 def test_deferred_u_rows_residency():
     """want_u=False keeps u in the row layout across steps (State.u is
     None — no per-step from_rows transpose) and the deferred chain is
