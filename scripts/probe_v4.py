@@ -32,6 +32,34 @@ def main():
           f"v4 free {t4:.4f} ms  raw apply_rows {tr:.4f} ms  "
           f"speedup v4/v3 {t3 / t4:.2f}x")
 
+    if "--scan-tc" in sys.argv:
+        from poroelasticity_dealii_tpu.ops.pallas_comp_major import (
+            make_pallas_apply_rows, make_pallas_free_apply)
+        Ke = disc._elasticity_element_matrix \
+            if hasattr(disc, "_elasticity_element_matrix") else None
+        if Ke is None:
+            from poroelasticity_dealii_tpu.mesh.generator import \
+                hyper_rectangle
+            from poroelasticity_dealii_tpu.mesh.qk import build_fe_space
+            from poroelasticity_dealii_tpu.ops import dense
+            h = [data.domain_size[d] / cells for d in range(3)]
+            su1 = build_fe_space(hyper_rectangle(h, cells_per_axis=1), 2)
+            Ke = dense.elasticity_element_matrices(
+                su1, data.lame_constant, data.shear_modulus)[0]
+        m = ro.free_mask_rows
+        for tc in (2, 3, 4, 5, 6, 7, 8, 10):
+            try:
+                f4 = make_pallas_free_apply(Ke, cells, m, disc.dtype, tc=tc)
+                fr = make_pallas_apply_rows(Ke, cells, disc.dtype, tc=tc)
+                ok = np.abs(np.asarray(f4(R)) - ref).max()
+                tf = bench._time_chained(f4, R)
+                tw = bench._time_chained(fr, R)
+                print(f"tc={tc:2d}  v4 {tf:.4f} ms  raw {tw:.4f} ms  "
+                      f"(v4 err {ok:.2e})")
+            except Exception as e:  # Mosaic VMEM OOM at deep slabs
+                print(f"tc={tc:2d}  FAILED: {type(e).__name__}: "
+                      f"{str(e)[:120]}")
+
 
 if __name__ == "__main__":
     main()
