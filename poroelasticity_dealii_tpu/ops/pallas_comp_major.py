@@ -864,10 +864,13 @@ class ElasticityRowOps:
         (the v4 kernel skips the 81 masked row reads per cell layer).
         Used as cg_solve's per-iteration ``apply_iter``: every CG
         direction vector satisfies the invariant when b/x0 carry the
-        Dirichlet values."""
+        Dirichlet values.  The fallback (sharded / v3-less backends)
+        applies the same identity outside the kernel: ``x*m == x`` and
+        ``(1-m)*x == 0`` on the free subspace, so ``m*A(x)`` drops one
+        full-vector mask pass per iteration vs constrained_apply."""
         if self.fused_free is not None:
             return self.fused_free(x)
-        return self.constrained_apply(x)
+        return self.apply_rows(x) * self.free_mask_rows
 
 
 def make_row_ops(element_matrix: np.ndarray, n: int, free_mask_u,
