@@ -356,13 +356,17 @@ def build_x64(cells=CELLS_PER_AXIS, elasticity_backend=None):
         flow_rate=1e-2,                 # same forcing as the f32 bench
         mech_cg_tol=1e-12, mech_cg_relative=True)
     t0 = time.perf_counter()
-    # multigrid ON for f64: without the row kernel (f32-only on TPU) the
-    # cold Jacobi-CG mechanics solve needs O(1000) f64 conv applies in ONE
-    # dispatch, which trips the remote-TPU execution watchdog ("TPU device
-    # error"; bisected round 3 — every individual op runs fine).  GMG-CG
-    # needs ~10-30.
+    # Mechanics multigrid is only needed when mixed-precision refinement
+    # is NOT engaged (refinement auto-enables on TPU): without either, the
+    # cold f64 Jacobi-CG mechanics solve needs O(1000) f64 conv applies in
+    # ONE dispatch, which trips the remote-TPU execution watchdog ("TPU
+    # device error"; bisected round 3 — every individual op runs fine).
+    # With refinement the f64 mechanics GMG (1.5 s/V-cycle emulated f64,
+    # ~2 min compile) is dead weight — skip building it.
+    refined = jax.default_backend() == "tpu" \
+        and data.mixed_precision_refinement in ("auto", "on")
     disc = build_grid_discretization(data, cells_per_axis=cells,
-                                     multigrid="on",
+                                     multigrid="off" if refined else "on",
                                      elasticity_backend=elasticity_backend)
     solver = FixedStressSolver(disc, data)
     print(f"# x64 setup: {time.perf_counter() - t0:.1f}s, "

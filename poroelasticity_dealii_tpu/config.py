@@ -204,6 +204,14 @@ _SCHEMA = {
     # XLA-convolution stencil; 'auto' picks pallas when eligible (3D Q2,
     # equal cells per axis, TPU backend).
     ("TPU", "Elasticity backend"): ("auto", _str({"auto", "conv", "pallas"})),
+    # float64 mechanics via mixed-precision iterative refinement: f64
+    # Richardson outer loop whose preconditioner is a full f32 inner solve
+    # on the (normalized) residual — f64 accuracy at f32-kernel speed.
+    # 'auto' enables it on TPU only (where f64 is emulated and the f64
+    # GMG-CG mechanics solve costs ~35 s/step at 40^3 vs ~0.4 s refined);
+    # native-f64 CPUs gain nothing.  Structured conv grids only.
+    ("TPU", "Mixed precision refinement"): ("auto",
+                                            _str({"auto", "on", "off"})),
     # Multi-chip domain decomposition for the runner (parallel/):
     #   none       - single device
     #   psum       - element shard_map + full-vector psum (any mesh, AMR ok)
@@ -277,6 +285,7 @@ class InputData:
     gravity_direction: int = -1
     debug_nans: bool = False
     elasticity_backend: str = "auto"
+    mixed_precision_refinement: str = "auto"
     sharding: str = "none"
     n_devices: int = 0
 
@@ -376,6 +385,8 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
         gravity_direction=vals[("TPU", "Gravity direction")],
         debug_nans=vals[("TPU", "Debug NaNs")] == "true",
         elasticity_backend=vals[("TPU", "Elasticity backend")],
+        mixed_precision_refinement=vals[
+            ("TPU", "Mixed precision refinement")],
         sharding=vals[("TPU", "Sharding")],
         n_devices=vals[("TPU", "Devices")],
     )
