@@ -195,7 +195,61 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                                    disc32.diag_elasticity, tol=itol,
                                    max_iter=cap)
                     return res.x.astype(d.dtype) * safe
+
+            # same-scheme inner for the strain projection's mass solves
+            # (f64 mass apply is 1.33 ms emulated; the f32 one 7 us)
+            mass32 = disc32._hcp.constrained(disc32.mass)
+            zp = jnp.zeros((disc32.n_pdofs,), jnp.float32)
+
+            def inner_mass(r):
+                s = jnp.linalg.norm(r)
+                safe = jnp.where(s > 0, s, 1.0)
+                r32 = (r / safe).astype(jnp.float32)
+                res = cg_solve(mass32, r32, zp, disc32.diag_mass,
+                               tol=itol, max_iter=cap)
+                return res.x.astype(d.dtype) * safe
+
+            object.__setattr__(self, "_ir_mass", inner_mass)
+            object.__setattr__(self, "_ir_disc32", disc32)
         object.__setattr__(self, "_ir_inner", inner)
+        return inner
+
+    def _ir_pressure(self, dt):
+        """Per-dt f32 inner pressure solve (fused f32 Jacobian stencil +
+        f32 GMG V-cycle of a twin solver) for f64 refinement; host-side
+        build, cached — returns the precond callable or None."""
+        if not isinstance(dt, (int, float)):
+            return None
+        cache = self.__dict__.setdefault("_ir_press", {})
+        if dt in cache:
+            return cache[dt]
+        disc32 = self.__dict__.get("_ir_disc32")
+        if disc32 is None:
+            cache[dt] = None
+            return None
+        solver32 = self.__dict__.get("_ir_solver32")
+        if solver32 is None:
+            data32 = dataclasses.replace(self.data, dtype="float32")
+            solver32 = FixedStressSolver(disc32, data32)
+            object.__setattr__(self, "_ir_solver32", solver32)
+        solver32._fused_jacobian_stencil(dt)     # eager per-dt caches
+        pre32 = solver32._pressure_precond(dt)
+        diag32 = solver32._pressure_jacobian_diag(dt)
+        itol = jnp.float32(1e-5)
+        cap = self.data.cg_max_iterations
+        zp = jnp.zeros((disc32.n_pdofs,), jnp.float32)
+        dtype = self.disc.dtype
+
+        def inner(r):
+            s = jnp.linalg.norm(r)
+            safe = jnp.where(s > 0, s, 1.0)
+            r32 = (r / safe).astype(jnp.float32)
+            res = cg_solve(lambda x: solver32._pressure_jacobian_apply(x, dt),
+                           r32, zp, diag32, tol=itol, max_iter=cap,
+                           precond=pre32)
+            return res.x.astype(dtype) * safe
+
+        cache[dt] = inner
         return inner
 
     # ---------------- pressure system pieces -------------------------------
@@ -467,10 +521,18 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         rhs = jax.vmap(d._hcp.condense_vec)(rhs)
         tol = self.data.projection_cg_tol * jnp.linalg.norm(rhs, axis=1)
         mass_hat = d._hcp.constrained(d.mass)
-        res = cg_solve_batched(mass_hat, rhs,
-                               jax.vmap(d._hcp.zero_hanging)(warm),
-                               d.diag_mass, tol,
-                               self.data.cg_max_iterations)
+        x0 = jax.vmap(d._hcp.zero_hanging)(warm)
+        irm = self.__dict__.get("_ir_mass")
+        if irm is not None:
+            # f64 refinement, batched: vmapped Richardson whose precond is
+            # a per-lane f32 mass CG (vmap runs the lanes lockstep — the
+            # same structure cg_solve_batched gives the plain path)
+            from .cg import richardson_solve
+            res = jax.vmap(lambda bb, xx, tt: richardson_solve(
+                mass_hat, bb, xx, irm, tt, 20))(rhs, x0, tol)
+        else:
+            res = cg_solve_batched(mass_hat, rhs, x0, d.diag_mass, tol,
+                                   self.data.cg_max_iterations)
         x = jax.vmap(d._hcp.distribute)(res.x)
         return x, jnp.sum(res.iterations).astype(jnp.int32), \
             jnp.all(res.converged)
@@ -533,10 +595,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         This host wrapper warms the per-dt caches (fused Jacobian stencil,
         pressure multigrid — their construction runs eager device code like
         power iterations that must not happen inside a trace)."""
+        self._mixed_precision_inner()   # host-side build before tracing
         if isinstance(dt, (int, float)):
             self._fused_jacobian_stencil(dt)
             self._pressure_precond(dt)
-        self._mixed_precision_inner()   # host-side build before tracing
+            self._ir_pressure(dt)
         ro = getattr(self.disc, "row_ops", None)
         rows_active = _rows_ready(ro)
         if rows_active:
@@ -646,12 +709,23 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 # tighter Richardson target (0.25x tol) was tried and spun
                 # to the iteration cap: it sits below the V-cycle's f32
                 # attainable floor on real residuals.
-                res = cg_solve(lambda x: self._pressure_jacobian_apply(x, dt),
-                               r, self.disc._hcp.zero_hanging(delta_p),
-                               jac_diag,
-                               tol=data.pressure_cg_tol * jnp.linalg.norm(r),
-                               max_iter=data.cg_max_iterations,
-                               precond=p_precond)
+                ptol = data.pressure_cg_tol * jnp.linalg.norm(r)
+                irp = self.__dict__.get("_ir_press", {}).get(dt)
+                if irp is not None:
+                    # f64 refinement: Richardson outer, full f32 GMG-CG
+                    # inner per pass (see _ir_pressure) — ~1e-5
+                    # contraction/pass at f32-kernel cost
+                    from .cg import richardson_solve
+                    res = richardson_solve(
+                        lambda x: self._pressure_jacobian_apply(x, dt),
+                        r, self.disc._hcp.zero_hanging(delta_p), irp,
+                        tol=ptol, max_iter=20)
+                else:
+                    res = cg_solve(
+                        lambda x: self._pressure_jacobian_apply(x, dt),
+                        r, self.disc._hcp.zero_hanging(delta_p), jac_diag,
+                        tol=ptol, max_iter=data.cg_max_iterations,
+                        precond=p_precond)
                 delta_p = self.disc._hcp.distribute(res.x)
                 p = p + delta_p
                 eps_v = eps_v + (data.biot_coef / data.bulk_modulus) * delta_p

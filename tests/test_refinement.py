@@ -61,8 +61,14 @@ def test_refined_matches_plain_f64():
         st_p, stats_p = plain.time_step(st_p, data.time_step)
         st_r, stats_r = refined.time_step(st_r, data.time_step)
         assert bool(stats_p.cg_converged) and bool(stats_r.cg_converged)
-        # refinement converges in a handful of outer passes
+        # refinement converges in a handful of outer passes — mechanics,
+        # pressure AND the batched projection all run refined (their
+        # iteration counters now count Richardson outer passes)
         assert int(stats_r.mech_cg_iterations) <= 6
+        assert int(stats_r.pressure_cg_iterations) <= \
+            3 * int(stats_r.pressure_iterations) + 3
+        assert int(stats_r.projection_cg_iterations) <= \
+            int(stats_p.projection_cg_iterations)
     scale = float(np.abs(np.asarray(st_p.u)).max())
     np.testing.assert_allclose(np.asarray(st_r.u), np.asarray(st_p.u),
                                rtol=0, atol=1e-10 * scale)
