@@ -383,6 +383,11 @@ def measure_x64(n_steps=1, cells=CELLS_PER_AXIS, elasticity_backend=None):
         "ms_per_step_synced": round(ms_sync * 1e3, 2),
         "n_steps": n_steps,
         "dtype": "float64",
+        "method": ("mixed-precision iterative refinement (f64 Richardson "
+                   "outer x f32 inner solves; TPU/Mixed precision "
+                   "refinement = auto)"
+                   if solver._mixed_precision_inner() is not None
+                   else "pure f64 GMG-CG"),
         "tolerances": "fss/pressure 1e-8 abs, pressure/projection CG 1e-8 "
                       "rel, mechanics CG 1e-12 rel (reference's 1e-12 abs "
                       "is below the attainable floor at this RHS scale)",

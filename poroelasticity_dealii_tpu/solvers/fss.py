@@ -656,7 +656,16 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         rel = 1e-8 if d.dtype == jnp.float64 else 2e-6
         tol = rel * jnp.linalg.norm(b)
         row_ops = getattr(d, "row_ops", None)
-        if row_ops is not None:
+        ir = self._mixed_precision_inner()   # host context: safe to build
+        if ir is not None:
+            # f64 on TPU: a 5000-iteration Jacobi-CG of 98.7 ms emulated
+            # applies would take minutes; 2-3 refinement passes instead
+            from .cg import richardson_solve
+            res = jax.jit(lambda bb: richardson_solve(
+                d.elasticity_constrained, bb, jnp.zeros_like(bb), ir,
+                tol, max_iter=30))(b)
+            u_bc = res.x
+        elif row_ops is not None:
             res = cg_solve(row_ops.constrained_apply, row_ops.to_rows(b),
                            row_ops.to_rows(jnp.zeros_like(b)),
                            row_ops.diag_rows, tol=tol, max_iter=5000)

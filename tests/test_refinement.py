@@ -79,6 +79,23 @@ def test_refined_matches_plain_f64():
         stats_p.pressure_iterations)
 
 
+def test_refined_bc_response_ramp():
+    """Time-dependent Dirichlet loading (bc_scale ramp) drives the
+    refined one-time _bc_response solve; the superposition warm start and
+    the step itself must match the plain f64 path."""
+    _, _, plain = _solver("off")
+    data, _, refined = _solver("on")
+    st_p, st_r = plain.initial_state(), refined.initial_state()
+    st_p, stats_p = plain.time_step(st_p, data.time_step, bc_scale=1.1,
+                                    bc_scale_prev=1.0)
+    st_r, stats_r = refined.time_step(st_r, data.time_step, bc_scale=1.1,
+                                      bc_scale_prev=1.0)
+    assert bool(stats_p.cg_converged) and bool(stats_r.cg_converged)
+    scale = float(np.abs(np.asarray(st_p.u)).max())
+    np.testing.assert_allclose(np.asarray(st_r.u), np.asarray(st_p.u),
+                               rtol=0, atol=1e-9 * scale)
+
+
 def test_refined_residual_meets_reference_tolerance():
     """The f64 residual of the refined mechanics solution itself (not the
     inner f32 one) meets the 1e-12-relative reference tolerance."""
