@@ -42,12 +42,17 @@ def build_amr_discretization(forest, data: InputData):
         forest, mesh, disc.pressure_space, disc.displacement_space,
         disc.dtype)
     disc.hc_p, disc.hc_u = hc_p, hc_u
-    one = jnp.ones((), disc.dtype)
+    # host-side fixups (an eager jnp .at[].set would compile per mesh shape,
+    # i.e. on every remesh)
+    def _pin(diag, hanging):
+        a = np.array(diag)                 # writable host copy
+        a[np.asarray(hanging)] = 1.0
+        return jnp.asarray(a, disc.dtype)
     if not hc_p.empty:
-        disc.diag_mass = disc.diag_mass.at[hc_p.hanging].set(one)
-        disc.diag_laplace = disc.diag_laplace.at[hc_p.hanging].set(one)
+        disc.diag_mass = _pin(disc.diag_mass, hc_p.hanging)
+        disc.diag_laplace = _pin(disc.diag_laplace, hc_p.hanging)
     if not hc_u.empty:
-        disc.diag_elasticity = disc.diag_elasticity.at[hc_u.hanging].set(one)
+        disc.diag_elasticity = _pin(disc.diag_elasticity, hc_u.hanging)
     return disc
 
 

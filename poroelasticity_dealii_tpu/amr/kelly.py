@@ -20,78 +20,83 @@ import numpy as np
 from .forest import QuadForest
 
 
-def _cell_geom(leaf, forest, R):
-    l, ix, iy = leaf
-    s = R // (2 ** l)
-    lo = forest.lower
-    sz = forest.upper - forest.lower
-    x0 = lo + sz * np.array([ix * s, iy * s]) / R
-    h = sz * s / R
-    return x0, h
-
-
-def _grad_at(points, x0, h, pv):
-    """Gradient of the bilinear with corner values pv (lex order) at
-    physical points (Np, 2) inside the cell at x0 with size h."""
-    xi = (points - x0) / h                       # in [0,1]^2
-    dpdx = ((pv[1] - pv[0]) * (1 - xi[:, 1]) + (pv[3] - pv[2]) * xi[:, 1]) / h[0]
-    dpdy = ((pv[2] - pv[0]) * (1 - xi[:, 0]) + (pv[3] - pv[1]) * xi[:, 0]) / h[1]
+def _grads_batched(pts, x0, h, pv):
+    """Bilinear gradients for a batch: pts (F, Q, 2) in cells with origins
+    x0 (F, 2), sizes h (F, 2) and corner values pv (F, 4, lex order).
+    Returns (F, Q, 2)."""
+    xi = (pts - x0[:, None, :]) / h[:, None, :]
+    dpdx = ((pv[:, 1] - pv[:, 0])[:, None] * (1 - xi[..., 1])
+            + (pv[:, 3] - pv[:, 2])[:, None] * xi[..., 1]) / h[:, None, 0]
+    dpdy = ((pv[:, 2] - pv[:, 0])[:, None] * (1 - xi[..., 0])
+            + (pv[:, 3] - pv[:, 1])[:, None] * xi[..., 0]) / h[:, None, 1]
     return np.stack([dpdx, dpdy], axis=-1)
 
 
 def kelly_estimate(forest: QuadForest, mesh, p: np.ndarray) -> np.ndarray:
     """Per-cell eta_K (NOT squared), cells in ``forest.sorted_leaves`` ==
-    ``mesh`` ordering.  ``p``: Q1 nodal pressure (vertex values)."""
+    ``mesh`` ordering.  ``p``: Q1 nodal pressure (vertex values).
+
+    Fully vectorized over face records (the per-record python loop was a
+    measured remesh hotspot)."""
     records, leaves = forest.interior_faces()
-    R = 2 ** forest.max_level
-    sz = forest.upper - forest.lower
     eta2 = np.zeros(len(leaves))
+    if not records:
+        return eta2
+    R = 2 ** forest.max_level
+    lower = forest.lower
+    sz = forest.upper - forest.lower
     # 2-point Gauss on [0,1]
     gp = np.array([0.5 - 0.5 / np.sqrt(3), 0.5 + 0.5 / np.sqrt(3)])
     gw = np.array([0.5, 0.5])
     cellv = p[mesh.cells]                        # (E, 4) corner values
 
-    for rec in records:
-        a, b, axis, line, lo, span = rec
-        t_axis = 1 - axis
-        # physical face segment
-        length = sz[t_axis] * span / R
-        line_phys = forest.lower[axis] + sz[axis] * line / R
-        lo_phys = forest.lower[t_axis] + sz[t_axis] * lo / R
-        pts = np.zeros((2, 2))
-        pts[:, axis] = line_phys
-        pts[:, t_axis] = lo_phys + gp * length
+    rec = np.asarray(records, dtype=np.int64)    # (F, 6)
+    a, b, axis, line, lo, span = rec.T
+    t_axis = 1 - axis
+    length = sz[t_axis] * span / R               # (F,)
+    line_phys = lower[axis] + sz[axis] * line / R
+    lo_phys = lower[t_axis] + sz[t_axis] * lo / R
+    tang = lo_phys[:, None] + gp[None, :] * length[:, None]    # (F, 2)
+    norm = np.broadcast_to(line_phys[:, None], tang.shape)
+    on_x = (axis == 0)[:, None]
+    pts = np.stack([np.where(on_x, norm, tang),
+                    np.where(on_x, tang, norm)], axis=-1)      # (F, 2, 2)
 
-        xa, ha = _cell_geom(leaves[a], forest, R)
-        xb, hb = _cell_geom(leaves[b], forest, R)
-        ga = _grad_at(pts, xa, ha, cellv[a])[:, axis]
-        gb = _grad_at(pts, xb, hb, cellv[b])[:, axis]
-        jump2 = (ga - gb) ** 2
-        integral = length * np.sum(gw * jump2)
-        # deal.II: each adjacent cell receives the face term with its own
-        # face diameter factor h_F/24
-        eta2[a] += (length / 24.0) * integral
-        eta2[b] += (length / 24.0) * integral
+    lv = np.asarray(leaves, dtype=np.int64)      # (E, 3): l, ix, iy
+    s = (R >> lv[:, 0]).astype(np.float64)
+    x0 = lower + sz * lv[:, 1:] * s[:, None] / R
+    h = sz * s[:, None] / R
+
+    ga = _grads_batched(pts, x0[a], h[a], cellv[a])
+    gb = _grads_batched(pts, x0[b], h[b], cellv[b])
+    jump = np.take_along_axis(ga - gb, axis[:, None, None], axis=-1)[..., 0]
+    integral = length * (gw[None, :] * jump ** 2).sum(axis=1)
+    # deal.II: each adjacent cell receives the face term with its own
+    # face diameter factor h_F/24
+    contrib = (length / 24.0) * integral
+    np.add.at(eta2, a, contrib)
+    np.add.at(eta2, b, contrib)
     return np.sqrt(eta2)
 
 
-def _grad_trilinear(points, x0, h, pv):
-    """Gradient of the trilinear with corner values pv (lex order, x
-    fastest) at physical points (Np, 3) inside the cell at x0, size h."""
-    xi = (points - x0) / h                       # in [0,1]^3
-    V = pv.reshape(2, 2, 2)                      # [z, y, x]
-    w = [np.stack([1 - xi[:, d], xi[:, d]]) for d in range(3)]  # (2, Np)
-    g = np.zeros((points.shape[0], 3))
-    # derivative along physical axis d = difference along numpy axis 2-d,
+def _grads_trilinear_batched(pts, x0, h, pv):
+    """Trilinear gradients for a batch: pts (F, Q, 3) in cells with origins
+    x0 (F, 3), sizes h (F, 3), corner values pv (F, 8, lex order x fastest).
+    Returns (F, Q, 3)."""
+    F, Q, _ = pts.shape
+    xi = (pts - x0[:, None, :]) / h[:, None, :]           # (F, Q, 3)
+    V = pv.reshape(F, 2, 2, 2)                            # (F, z, y, x)
+    w = [np.stack([1 - xi[..., d], xi[..., d]], axis=-1)  # (F, Q, 2)
+         for d in range(3)]
+    g = np.empty((F, Q, 3))
+    # derivative along physical axis d = difference along numpy axis 3-d,
     # blended bilinearly over the other two axes
     for d in range(3):
-        dV = np.take(V, 1, axis=2 - d) - np.take(V, 0, axis=2 - d)  # (2,2)
-        rem = [a for a in (2, 1, 0) if a != d]   # physical labels of dV dims
-        acc = np.zeros(points.shape[0])
-        for i0 in range(2):
-            for i1 in range(2):
-                acc += dV[i0, i1] * w[rem[0]][i0] * w[rem[1]][i1]
-        g[:, d] = acc / h[d]
+        dV = (np.take(V, 1, axis=3 - d)
+              - np.take(V, 0, axis=3 - d))                # (F, 2, 2)
+        rem = [a for a in (2, 1, 0) if a != d]            # physical labels
+        g[:, :, d] = np.einsum("fab,fqa,fqb->fq",
+                               dV, w[rem[0]], w[rem[1]]) / h[:, None, d]
     return g
 
 
@@ -100,42 +105,49 @@ def kelly_estimate_3d(forest, mesh, p: np.ndarray) -> np.ndarray:
     the Q1 pressure over all interior quad faces, 2x2 Gauss per fine face
     square; eta_K^2 accumulates (h_F / 24) * integral per adjacent cell
     (h_F = face diameter), matching the 2D convention and deal.II's
-    ``KellyErrorEstimator`` (PoroelasticityFSS.h:452-458)."""
+    ``KellyErrorEstimator`` (PoroelasticityFSS.h:452-458).  Vectorized over
+    face records like the 2D estimator."""
     records, leaves = forest.interior_faces()
-    R = 2 ** forest.max_level
-    lo_phys = forest.lower
-    sz = forest.upper - forest.lower
     eta2 = np.zeros(len(leaves))
+    if not records:
+        return eta2
+    R = 2 ** forest.max_level
+    lower = forest.lower
+    sz = forest.upper - forest.lower
     gp = np.array([0.5 - 0.5 / np.sqrt(3), 0.5 + 0.5 / np.sqrt(3)])
     cellv = p[mesh.cells]                        # (E, 8)
 
-    def cell_geom(leaf):
-        l = leaf[0]
-        s = R // (2 ** l)
-        x0 = lo_phys + sz * np.array([v * s for v in leaf[1:]]) / R
-        return x0, sz * s / R
+    rec = np.asarray(records, dtype=np.int64)    # (F, 7)
+    a, b, axis, plane, lo1, lo2, span = rec.T
+    tang = np.array([[1, 2], [0, 2], [0, 1]])[axis]       # (F, 2)
+    t1, t2 = tang[:, 0], tang[:, 1]
+    a1 = sz[t1] * span / R                       # physical side lengths
+    a2 = sz[t2] * span / R
+    area = a1 * a2
+    diam = np.hypot(a1, a2)
+    plane_phys = lower[axis] + sz[axis] * plane / R
+    c1 = (lower[t1] + sz[t1] * lo1 / R)[:, None] \
+        + np.repeat(gp, 2)[None, :] * a1[:, None]         # (F, 4)
+    c2 = (lower[t2] + sz[t2] * lo2 / R)[:, None] \
+        + np.tile(gp, 2)[None, :] * a2[:, None]
+    pts = np.empty((len(rec), 4, 3))
+    for k in range(3):
+        pts[:, :, k] = np.where(
+            (axis == k)[:, None], plane_phys[:, None],
+            np.where((t1 == k)[:, None], c1, c2))
 
-    for rec in records:
-        t1, t2 = [a for a in range(3) if a != rec.axis]
-        a1 = sz[t1] * rec.span / R               # physical side lengths
-        a2 = sz[t2] * rec.span / R
-        area = a1 * a2
-        diam = float(np.hypot(a1, a2))
-        plane_phys = lo_phys[rec.axis] + sz[rec.axis] * rec.plane / R
-        lo1_phys = lo_phys[t1] + sz[t1] * rec.lo1 / R
-        lo2_phys = lo_phys[t2] + sz[t2] * rec.lo2 / R
-        pts = np.zeros((4, 3))
-        pts[:, rec.axis] = plane_phys
-        pts[:, t1] = lo1_phys + np.repeat(gp, 2) * a1
-        pts[:, t2] = lo2_phys + np.tile(gp, 2) * a2
+    lv = np.asarray(leaves, dtype=np.int64)      # (E, 4): l, ix, iy, iz
+    s = (R >> lv[:, 0]).astype(np.float64)
+    x0 = lower + sz * lv[:, 1:] * s[:, None] / R
+    h = sz * s[:, None] / R
 
-        xa, ha = cell_geom(leaves[rec.cell_a])
-        xb, hb = cell_geom(leaves[rec.cell_b])
-        ga = _grad_trilinear(pts, xa, ha, cellv[rec.cell_a])[:, rec.axis]
-        gb = _grad_trilinear(pts, xb, hb, cellv[rec.cell_b])[:, rec.axis]
-        integral = area * np.mean((ga - gb) ** 2)   # 4 equal Gauss weights
-        eta2[rec.cell_a] += (diam / 24.0) * integral
-        eta2[rec.cell_b] += (diam / 24.0) * integral
+    ga = _grads_trilinear_batched(pts, x0[a], h[a], cellv[a])
+    gb = _grads_trilinear_batched(pts, x0[b], h[b], cellv[b])
+    jump = np.take_along_axis(ga - gb, axis[:, None, None], axis=-1)[..., 0]
+    integral = area * np.mean(jump ** 2, axis=1)   # 4 equal Gauss weights
+    contrib = (diam / 24.0) * integral
+    np.add.at(eta2, a, contrib)
+    np.add.at(eta2, b, contrib)
     return np.sqrt(eta2)
 
 

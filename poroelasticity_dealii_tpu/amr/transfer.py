@@ -26,36 +26,45 @@ def transfer_nodal(forest_old: QuadForest, mesh_old, values: np.ndarray,
     """
     dim = new_points.shape[1]
     leaves = forest_old.sorted_leaves()
-    leaf_index = {leaf: i for i, leaf in enumerate(leaves)}
     Lmax = forest_old.max_level
+    R = 2 ** Lmax
     lo = forest_old.lower
     sz = forest_old.upper - forest_old.lower
     u = np.clip((new_points - lo) / sz, 0.0, 1.0)      # (P, dim) in [0,1]
 
     was_1d = values.ndim == 1
     values = np.atleast_2d(values)
-    out = np.zeros(values.shape[:-1] + (len(new_points),))
     cellv = values[..., mesh_old.cells]                # (..., E, 2^dim)
 
-    for pidx in range(len(new_points)):
-        up = u[pidx]
-        found = None
-        for l in range(Lmax, -1, -1):
-            n = 2 ** l
-            idx = tuple(min(int(up[d] * n), n - 1) for d in range(dim))
-            leaf = (l,) + idx
-            if leaf in leaf_index:
-                found = (leaf_index[leaf], l, idx)
-                break
-        if found is None:       # numerical edge case: nudge inward
-            raise RuntimeError(f"point {new_points[pidx]} not in any leaf")
-        c, l, idx = found
-        n = 2 ** l
-        xi = [up[d] * n - idx[d] for d in range(dim)]
-        # multilinear corner weights in lex corner order (x fastest): each
-        # new axis becomes the slowest index
-        w = np.array([1.0])
-        for d in range(dim):
-            w = np.outer([1 - xi[d], xi[d]], w).reshape(-1)
-        out[..., pidx] = np.einsum("...v,v->...", cellv[..., c, :], w)
+    # dense finest-resolution lookup: finest cell -> covering leaf.  Leaves
+    # partition the domain, so this reproduces the per-point coarse-to-fine
+    # search exactly, fully vectorized.  Memory is bounded by the forest
+    # depth (R^dim int32; golden AMR: 64^2).
+    grid = np.full((R,) * dim, -1, dtype=np.int32)
+    levels = np.empty(len(leaves), dtype=np.int64)
+    for i, leaf in enumerate(leaves):
+        l, idx = leaf[0], leaf[1:]
+        s = R >> l
+        block = tuple(slice(ix * s, (ix + 1) * s) for ix in idx)
+        # leaf layout: axis 0 = x; grid uses the same axis order
+        grid[block] = i
+        levels[i] = l
+
+    f = np.minimum((u * R).astype(np.int64), R - 1)     # (P, dim)
+    c = grid[tuple(f[:, d] for d in range(dim))]        # (P,)
+    if (c < 0).any():           # numerical edge case: nudge inward
+        bad = np.flatnonzero(c < 0)[0]
+        raise RuntimeError(f"point {new_points[bad]} not in any leaf")
+    n = (1 << levels[c]).astype(np.float64)             # (P,)
+    idx = np.minimum((u * n[:, None]).astype(np.int64),
+                     (n[:, None] - 1).astype(np.int64))
+    xi = u * n[:, None] - idx                           # (P, dim) in [0,1]
+
+    # multilinear corner weights in lex corner order (x fastest): corner
+    # j = sum_d bit_d 2^d, weight = prod_d (bit_d ? xi_d : 1-xi_d)
+    w = np.ones((len(u), 1))
+    for d in range(dim):
+        wd = np.stack([1.0 - xi[:, d], xi[:, d]], axis=1)   # (P, 2)
+        w = (wd[:, :, None] * w[:, None, :]).reshape(len(u), -1)
+    out = np.einsum("...pv,pv->...p", cellv[..., c, :], w)
     return out[0] if was_1d else out

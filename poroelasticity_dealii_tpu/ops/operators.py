@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Voigt-style unique symmetric tensor components, in the reference's
 # TensorIndexer order (TensorIndexer.h:18-35):
@@ -50,6 +51,14 @@ def scatter_add(values, conn, n_dofs):
     """
     return jax.ops.segment_sum(values.reshape(-1), conn.reshape(-1),
                                num_segments=n_dofs)
+
+
+def _scatter_add_host(values, conn, n_dofs):
+    """Host (numpy) twin of :func:`scatter_add` for setup-time assembly."""
+    out = np.zeros(n_dofs, dtype=np.asarray(values).dtype)
+    np.add.at(out, np.asarray(conn).reshape(-1),
+              np.ascontiguousarray(values).reshape(-1))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -191,27 +200,37 @@ def strain_projection_rhs(u, conn_u, conn_p, psi_p, dref_u_at_pq, jinv_p,
 # --------------------------------------------------------------------------
 
 def mass_diagonal(conn, psi, jxw, n_dofs):
-    de = jnp.einsum("qE,qn->nE", jxw, psi * psi)
-    de = jnp.broadcast_to(de, conn.shape)           # uniform-grid E=1 case
-    return scatter_add(de, conn, n_dofs)
+    """Dispatches on input type like ops/geometry.py: numpy in -> numpy out
+    (setup stays on the host — eager jnp here would trigger a fresh XLA
+    compile of every tiny op per mesh shape, which dominated the AMR remesh
+    cost), jnp in -> jnp out."""
+    xp, scat = ((jnp, scatter_add) if isinstance(conn, jnp.ndarray)
+                else (np, _scatter_add_host))
+    de = xp.einsum("qE,qn->nE", jxw, psi * psi)
+    de = xp.broadcast_to(de, conn.shape)            # uniform-grid E=1 case
+    return scat(de, conn, n_dofs)
 
 
 def laplace_diagonal(conn, dref, jinv, jxw, n_dofs):
-    g = jnp.einsum("qnm,qmdE->qndE", dref, jinv)
-    de = jnp.einsum("qE,qndE->nE", jxw, g * g)
-    de = jnp.broadcast_to(de, conn.shape)
-    return scatter_add(de, conn, n_dofs)
+    xp, scat = ((jnp, scatter_add) if isinstance(conn, jnp.ndarray)
+                else (np, _scatter_add_host))
+    g = xp.einsum("qnm,qmdE->qndE", dref, jinv)
+    de = xp.einsum("qE,qndE->nE", jxw, g * g)
+    de = xp.broadcast_to(de, conn.shape)
+    return scat(de, conn, n_dofs)
 
 
 def elasticity_diagonal(conn_u, dref, jinv, jxw, lam, mu, n_udofs):
     """diag K[(n,c)] = ∫ [lam G_nc² + mu (Σ_j G_nj² + G_nc²)] dx."""
+    xp, scat = ((jnp, scatter_add) if isinstance(conn_u, jnp.ndarray)
+                else (np, _scatter_add_host))
     Q, N, dim = dref.shape
-    g = jnp.einsum("qnm,qmdE->qndE", dref, jinv)    # physical gradients
+    g = xp.einsum("qnm,qmdE->qndE", dref, jinv)     # physical gradients
     g2 = g * g
-    sum_g2 = jnp.sum(g2, axis=2, keepdims=True)
-    de = jnp.einsum("qE,qncE->ncE", jxw, (lam + mu) * g2 + mu * sum_g2)
-    de = jnp.broadcast_to(de.reshape(N * dim, -1), conn_u.shape)
-    return scatter_add(de, conn_u, n_udofs)
+    sum_g2 = xp.sum(g2, axis=2, keepdims=True)
+    de = xp.einsum("qE,qncE->ncE", jxw, (lam + mu) * g2 + mu * sum_g2)
+    de = xp.broadcast_to(de.reshape(N * dim, -1), conn_u.shape)
+    return scat(de, conn_u, n_udofs)
 
 
 # --------------------------------------------------------------------------

@@ -357,6 +357,20 @@ def build_discretization(mesh: Mesh, data: InputData,
 
     jp = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)  # noqa: E731
 
+    # preconditioner diagonals: host numpy (f64, cast once below).  Eager
+    # jnp here costs ~50 tiny per-shape XLA compiles, which dominated the
+    # AMR remesh wall-clock (profiled: ~3.7 s of a ~6 s remesh).
+    n_pdofs = p_space.n_nodes
+    n_udofs = u_space.n_nodes * dim
+    jinv_p_cl, jxw_p_cl = t_jinv(jinv_p), t_jxw(jxw_p)
+    jinv_u_cl, jxw_u_cl = t_jinv(jinv_u), t_jxw(jxw_u)
+    diag_mass = ops.mass_diagonal(conn_p, psi_p_at_pq, jxw_p_cl, n_pdofs)
+    diag_lap = ops.laplace_diagonal(conn_p, dref_p_at_pq, jinv_p_cl,
+                                    jxw_p_cl, n_pdofs)
+    diag_el = ops.elasticity_diagonal(conn_u, dref_u_at_uq, jinv_u_cl,
+                                      jxw_u_cl, lam, mu, n_udofs)
+    diag_el = np.where(free_np, diag_el, 1.0)
+
     d = Discretization(
         dim=dim, dtype=jnp.dtype(dtype),
         pressure_space=p_space, displacement_space=u_space,
@@ -364,25 +378,16 @@ def build_discretization(mesh: Mesh, data: InputData,
         psi_p_at_pq=jp(psi_p_at_pq), dref_p_at_pq=jp(dref_p_at_pq),
         psi_p_at_uq=jp(psi_p_at_uq), dref_u_at_uq=jp(dref_u_at_uq),
         dref_u_at_pq=jp(dref_u_at_pq),
-        jinv_u=jp(t_jinv(jinv_u)), jxw_u=jp(t_jxw(jxw_u)),
-        jinv_p=jp(t_jinv(jinv_p)), jxw_p=jp(t_jxw(jxw_p)),
+        jinv_u=jp(jinv_u_cl), jxw_u=jp(jxw_u_cl),
+        jinv_p=jp(jinv_p_cl), jxw_p=jp(jxw_p_cl),
         free_mask_u=jp(free_np.astype(np.float64)),
         dirichlet_values=jp(dirichlet_np),
         f_neumann=jp(f_neumann), f_well=jp(f_well),
         free_mask_p=jp(free_p_np.astype(np.float64)),
         dirichlet_values_p=jp(dirichlet_p_np),
-        diag_mass=jnp.zeros(p_space.n_nodes, dtype),      # filled below
-        diag_laplace=jnp.zeros(p_space.n_nodes, dtype),
-        diag_elasticity=jnp.ones(u_space.n_nodes * dim, dtype),
+        diag_mass=jp(diag_mass),
+        diag_laplace=jp(diag_lap),
+        diag_elasticity=jp(diag_el),
         lam=lam, mu=mu,
     )
-
-    diag_mass = ops.mass_diagonal(d.conn_p, d.psi_p_at_pq, d.jxw_p, d.n_pdofs)
-    diag_lap = ops.laplace_diagonal(d.conn_p, d.dref_p_at_pq, d.jinv_p,
-                                    d.jxw_p, d.n_pdofs)
-    diag_el = ops.elasticity_diagonal(d.conn_u, d.dref_u_at_uq, d.jinv_u,
-                                      d.jxw_u, lam, mu, d.n_udofs)
-    diag_el = jnp.where(d.free_mask_u > 0, diag_el, jnp.ones((), dtype))
-    d = dataclasses.replace(d, diag_mass=diag_mass, diag_laplace=diag_lap,
-                            diag_elasticity=diag_el)
     return d

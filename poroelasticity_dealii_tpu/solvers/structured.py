@@ -241,6 +241,17 @@ def build_grid_discretization(data: InputData,
     lam, mu = data.lame_constant, data.shear_modulus
     jp = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)  # noqa: E731
 
+    # preconditioner diagonals on the host (numpy path of the *_diagonal
+    # dispatchers) — avoids per-shape eager-XLA compiles at setup
+    n_pdofs = p_space.n_nodes
+    n_udofs = u_space.n_nodes * dim
+    diag_mass = ops.mass_diagonal(conn_p, psi_p_at_pq, jxw_p, n_pdofs)
+    diag_lap = ops.laplace_diagonal(conn_p, dref_p_at_pq, jinv_p,
+                                    jxw_p, n_pdofs)
+    diag_el = ops.elasticity_diagonal(conn_u, dref_u_at_uq, jinv_u,
+                                      jxw_u, lam, mu, n_udofs)
+    diag_el = np.where(free_np, diag_el, 1.0)
+
     d = GridDiscretization(
         dim=dim, dtype=jnp.dtype(dtype),
         pressure_space=p_space, displacement_space=u_space,
@@ -255,21 +266,12 @@ def build_grid_discretization(data: InputData,
         f_neumann=jp(f_neumann), f_well=jp(f_well),
         free_mask_p=jp(free_p_np.astype(np.float64)),
         dirichlet_values_p=jp(dirichlet_p_np),
-        diag_mass=jnp.zeros(p_space.n_nodes, dtype),
-        diag_laplace=jnp.zeros(p_space.n_nodes, dtype),
-        diag_elasticity=jnp.ones(u_space.n_nodes * dim, dtype),
+        diag_mass=jp(diag_mass),
+        diag_laplace=jp(diag_lap),
+        diag_elasticity=jp(diag_el),
         lam=lam, mu=mu,
         info_p=info_p, info_u=info_u,
     )
-    diag_mass = ops.mass_diagonal(d.conn_p, d.psi_p_at_pq, d.jxw_p,
-                                  d.n_pdofs)
-    diag_lap = ops.laplace_diagonal(d.conn_p, d.dref_p_at_pq, d.jinv_p,
-                                    d.jxw_p, d.n_pdofs)
-    diag_el = ops.elasticity_diagonal(d.conn_u, d.dref_u_at_uq, d.jinv_u,
-                                      d.jxw_u, lam, mu, d.n_udofs)
-    diag_el = jnp.where(d.free_mask_u > 0, diag_el, jnp.ones((), dtype))
-    d = dataclasses.replace(d, diag_mass=diag_mass, diag_laplace=diag_lap,
-                            diag_elasticity=diag_el)
     if backend != "conv":
         return d
 
