@@ -204,6 +204,18 @@ _SCHEMA = {
     # XLA-convolution stencil; 'auto' picks pallas when eligible (3D Q2,
     # equal cells per axis, TPU backend).
     ("TPU", "Elasticity backend"): ("auto", _str({"auto", "conv", "pallas"})),
+    # Mechanics CG preconditioner on the row-layout (pallas) path:
+    # 'block' couples each node's 3 displacement components through the
+    # inverted 3x3 diagonal block of the constrained operator (node-block
+    # Jacobi); 'jacobi' is the scalar diagonal.  Default jacobi: on
+    # uniform structured grids the assembled interior blocks are EXACTLY
+    # diagonal (parity cancellation of the cross-component terms) and the
+    # golden decks' Dirichlet masks zero the boundary remainder, so block
+    # == jacobi numerically at ~33% more precond bandwidth (measured
+    # ablation, docs/VALIDATION.md).  'block' can only pay off on decks
+    # whose Neumann/free boundary faces keep all 3 components free.
+    ("TPU", "Mechanics preconditioner"): ("jacobi",
+                                          _str({"jacobi", "block"})),
     # float64 mechanics via mixed-precision iterative refinement: f64
     # Richardson outer loop whose preconditioner is a full f32 inner solve
     # on the (normalized) residual — f64 accuracy at f32-kernel speed.
@@ -285,6 +297,7 @@ class InputData:
     gravity_direction: int = -1
     debug_nans: bool = False
     elasticity_backend: str = "auto"
+    mech_precond: str = "jacobi"
     mixed_precision_refinement: str = "auto"
     sharding: str = "none"
     n_devices: int = 0
@@ -385,6 +398,7 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
         gravity_direction=vals[("TPU", "Gravity direction")],
         debug_nans=vals[("TPU", "Debug NaNs")] == "true",
         elasticity_backend=vals[("TPU", "Elasticity backend")],
+        mech_precond=vals[("TPU", "Mechanics preconditioner")],
         mixed_precision_refinement=vals[
             ("TPU", "Mixed precision refinement")],
         sharding=vals[("TPU", "Sharding")],

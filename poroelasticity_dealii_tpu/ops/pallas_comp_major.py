@@ -113,6 +113,110 @@ def from_rows(R, n: int):
     return U[:g, :g, :g, :].reshape(-1)
 
 
+def scalar_rows_np(v: np.ndarray, n: int, fill: float = 0.0) -> np.ndarray:
+    """Nodal scalar grid ((2n+1)^3,) -> scalar row layout ((n+1)*8, W).
+
+    The comp-free companion of :func:`to_rows`: row = zh*8 +
+    ((pz*2 + py)*2 + px), lane = yh*(n+1) + xh — i.e. exactly the
+    (zh, parity) structure of the u row layout with the 3-comp factor
+    dropped, so a ((n+1)*24, W) u-rows array viewed as
+    ``(n+1, 8, 3, W)`` broadcasts against scalar rows viewed as
+    ``(n+1, 8, 1, W)``.  ``fill`` seeds the phantom (padding) nodes and
+    lanes.  Host numpy (setup-time constants only)."""
+    g = 2 * n + 1
+    W = _width(n)
+    U = np.full((2 * n + 2,) * 3, fill, dtype=np.float64)
+    U[:g, :g, :g] = np.asarray(v, np.float64).reshape(g, g, g)
+    V = U.reshape(n + 1, 2, n + 1, 2, n + 1, 2)          # zh pz yh py xh px
+    V = V.transpose(0, 1, 3, 5, 2, 4)                    # zh pz py px yh xh
+    R = V.reshape((n + 1) * 8, (n + 1) * (n + 1))
+    out = np.full(((n + 1) * 8, W), fill, dtype=np.float64)
+    out[:, :R.shape[1]] = R
+    return out
+
+
+def elasticity_node_blocks(element_matrix: np.ndarray, n: int,
+                           free_mask_u) -> np.ndarray:
+    """Per-node (3, 3) diagonal blocks of the CONSTRAINED elasticity
+    operator on the structured Q2 grid: B[node][c, c'] = sum over cells
+    touching the node of the element matrix's local diagonal node block,
+    with Dirichlet-constrained (node, comp) rows/cols replaced by the
+    identity (the constrained operator acts as identity there).
+
+    Feeds the node-block Jacobi preconditioner (the 3x3 coupling between
+    a node's displacement components that scalar Jacobi ignores — the
+    lam/mu cross terms of ``PoroElasticDisplacementSolver.h:237-242``).
+    Host numpy, setup-time.  Returns (g^3, 3, 3), g = 2n+1.
+
+    Measured caveat (docs/VALIDATION.md "node-block Jacobi ablation"): on
+    the uniform grids this path runs on, the assembled INTERIOR blocks
+    are exactly diagonal — the per-element cross terms (up to 37% of the
+    diagonal at corner nodes) cancel by parity across the 8 surrounding
+    cells — and off-diagonals survive only at boundary nodes free in
+    several components, which the golden decks' Dirichlet masks zero.
+    Hence 'block' == scalar Jacobi numerically on those decks, and the
+    knob defaults to 'jacobi'."""
+    g = 2 * n + 1
+    Ke = np.asarray(element_matrix, np.float64)
+    lat = node_lattice(2, 3)                             # (27, 3) x-first
+    B = np.zeros((g ** 3, 3, 3))
+    idx = np.arange(n)
+    cz, cy, cx = np.meshgrid(idx, idx, idx, indexing="ij")
+    for a in range(27):
+        ox, oy, oz = int(lat[a, 0]), int(lat[a, 1]), int(lat[a, 2])
+        nodes = (((2 * cz + oz) * g + (2 * cy + oy)) * g
+                 + (2 * cx + ox)).ravel()                # unique per a
+        B[nodes] += Ke[a * 3:a * 3 + 3, a * 3:a * 3 + 3]
+    f = np.asarray(free_mask_u, np.float64).reshape(g ** 3, 3) > 0
+    B *= f[:, :, None] & f[:, None, :]                   # zero constrained
+    for c in range(3):
+        B[~f[:, c], c, c] = 1.0                          # identity rows
+    return B
+
+
+def make_block_precond(block_inv: np.ndarray, n: int, dtype=jnp.float32,
+                       nz_pad: int = None):
+    """Node-block (3x3) Jacobi preconditioner in the comp-major row layout:
+    ``r rows ((n+1)*24, W) -> z = B^{-1} r`` applied nodewise.
+
+    ``block_inv``: (g^3, 3, 3) inverted blocks from
+    :func:`elasticity_node_blocks` (symmetric — 6 unique planes are
+    stored/read).  Phantom rows/lanes map 0 -> 0 (identity fill), so the
+    free-subspace invariant the v4 kernel relies on is preserved: z is
+    zero wherever r is (constrained rows carry identity blocks).
+
+    ``nz_pad`` (default n+1): total z-half planes of the vectors the
+    preconditioner will see — the sharded rows backend pads to
+    ``n_dev * Lz`` planes; the extra planes get identity blocks."""
+    if nz_pad is None:
+        nz_pad = n + 1
+    pl_ = {}
+    for c in range(3):
+        for d in range(c, 3):
+            fill = 1.0 if c == d else 0.0
+            plane = scalar_rows_np(block_inv[:, c, d], n, fill)
+            if nz_pad > n + 1:
+                extra = np.full(((nz_pad - (n + 1)) * 8, plane.shape[1]),
+                                fill)
+                plane = np.concatenate([plane, extra], axis=0)
+            pl_[(c, d)] = plane
+    M = jnp.asarray(np.stack([pl_[(0, 0)], pl_[(0, 1)], pl_[(0, 2)],
+                              pl_[(1, 1)], pl_[(1, 2)], pl_[(2, 2)]]),
+                    dtype).reshape(6, nz_pad, 8, -1)
+    W = _width(n)
+
+    def block_precond(R):
+        R4 = R.reshape(nz_pad, 8, 3, W)
+        r0, r1, r2 = R4[:, :, 0], R4[:, :, 1], R4[:, :, 2]
+        m00, m01, m02, m11, m12, m22 = (M[i] for i in range(6))
+        z0 = m00 * r0 + m01 * r1 + m02 * r2
+        z1 = m01 * r0 + m11 * r1 + m12 * r2
+        z2 = m02 * r0 + m12 * r1 + m22 * r2
+        return jnp.stack([z0, z1, z2], axis=2).reshape(R.shape)
+
+    return block_precond
+
+
 def _slice_params(n: int):
     """Per local Q2 node a: (dz, row-offset-within-zh-block, lane shift)."""
     lat = node_lattice(2, 3)                            # (27, 3) x-first
@@ -844,6 +948,7 @@ class ElasticityRowOps:
     projection_rows: object = None  # u rows -> (C, n_pdofs) strain RHS
     fused_constrained: object = None  # single-kernel m*A(mx)+(1-m)x (v3)
     fused_free: object = None    # single-kernel m*A(x) for free-subspace x
+    block_precond: object = None  # nodewise 3x3-block Jacobi (rows -> rows)
 
     def constrained_apply(self, x):
         """Free-subspace restriction, same semantics as
@@ -903,11 +1008,31 @@ def make_row_ops(element_matrix: np.ndarray, n: int, free_mask_u,
                                           interpret=interpret)
     free = make_pallas_free_apply(element_matrix, n, mask_rows, dtype,
                                   tc=tc3, interpret=interpret)
+    bp = lazy_block_precond(element_matrix, n, free_mask_u, dtype)
     return ElasticityRowOps(n=n, apply_rows=apply_rows, to_rows=t,
                             from_rows=f, free_mask_rows=mask_rows,
                             diag_rows=diag_rows, coupling_rows=cr,
                             projection_rows=pr, fused_constrained=fused,
-                            fused_free=free)
+                            fused_free=free, block_precond=bp)
+
+
+def lazy_block_precond(element_matrix: np.ndarray, n: int, free_mask_u,
+                       dtype=jnp.float32, nz_pad: int = None):
+    """Defer the node-block setup (~3 s host numpy at 40^3: 27-point
+    assembly + 531k batched 3x3 inverses) until the first TRACE that uses
+    the preconditioner — 'Mechanics preconditioner = jacobi' decks (the
+    default) never pay it.  The built apply is memoized, so retraces reuse
+    the planes."""
+    cache = []
+
+    def block_precond(R):
+        if not cache:
+            blocks = elasticity_node_blocks(element_matrix, n, free_mask_u)
+            cache.append(make_block_precond(np.linalg.inv(blocks), n,
+                                            dtype, nz_pad=nz_pad))
+        return cache[0](R)
+
+    return block_precond
 
 
 # ---------------------------------------------------------------------------

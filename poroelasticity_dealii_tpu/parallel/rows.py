@@ -130,10 +130,18 @@ def make_row_ops_sharded(element_matrix: np.ndarray, n: int, free_mask_u,
         # sharded shape feeds straight in
         pr = make_projection_rows(projection_matrix, n, dtype)
 
+    # node-block Jacobi, identity-padded to the sharded plane count; the
+    # apply is elementwise per (z-half, parity, lane) so it shards with
+    # the row axis (the M planes ride as a replicated->resharded const).
+    # Lazy: only 'Mechanics preconditioner = block' decks build it.
+    from ..ops.pallas_comp_major import lazy_block_precond
+    bp = lazy_block_precond(element_matrix, n, free_mask_u, dtype,
+                            nz_pad=n_dev * Lz)
+
     return ElasticityRowOps(n=n, apply_rows=apply_rows, to_rows=t,
                             from_rows=f, free_mask_rows=mask_rows,
                             diag_rows=diag_rows, coupling_rows=cr,
-                            projection_rows=pr)
+                            projection_rows=pr, block_precond=bp)
 
 
 def shard_production_discretization(disc, device_mesh):

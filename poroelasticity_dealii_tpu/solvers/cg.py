@@ -54,7 +54,8 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
              diag: jnp.ndarray = None, tol: jnp.ndarray = 0.0,
              max_iter: int = 1000, precond: Callable = None,
              precise_dots: bool = False,
-             apply_iter: Callable = None) -> CGResult:
+             apply_iter: Callable = None,
+             flexible: bool = None) -> CGResult:
     """Solve ``A x = b`` with preconditioned CG.
 
     Args:
@@ -85,8 +86,15 @@ def cg_solve(apply_a: Callable, b: jnp.ndarray, x0: jnp.ndarray,
         diagonal precond preserves those zeros, and p = z + beta p keeps
         them inductively).  ``apply_a`` is still used for the one initial
         residual evaluation on x0, which is NOT in the free subspace.
+      flexible: use the Polak-Ribiere beta (one extra dot per iteration).
+        Default: on exactly when an operator ``precond`` is given — the
+        safe choice for approximate/nonlinear preconditioners like a
+        float32 V-cycle.  A FIXED SPD linear preconditioner (e.g. the
+        node-block Jacobi) may pass ``flexible=False`` to keep the
+        2-dots-per-iteration Fletcher-Reeves update.
     """
-    flexible = precond is not None
+    if flexible is None:
+        flexible = precond is not None
     if apply_iter is None:
         apply_iter = apply_a
     if precond is None:

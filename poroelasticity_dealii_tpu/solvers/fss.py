@@ -174,6 +174,9 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             cap = data.cg_max_iterations
             if ro32 is not None:
                 z0 = jnp.zeros_like(ro32.diag_rows)
+                bp32 = (ro32.block_precond
+                        if getattr(data, "mech_precond", "jacobi") == "block"
+                        else None)
 
                 def inner(r):
                     s = jnp.linalg.norm(r)
@@ -182,7 +185,8 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                     res = cg_solve(ro32.constrained_apply,
                                    ro32.to_rows(r32), z0, ro32.diag_rows,
                                    tol=itol, max_iter=cap,
-                                   apply_iter=ro32.free_apply)
+                                   apply_iter=ro32.free_apply,
+                                   precond=bp32, flexible=False)
                     return ro32.from_rows(res.x).astype(d.dtype) * safe
             else:
                 z0 = jnp.zeros((disc32.n_udofs,), jnp.float32)
@@ -417,6 +421,16 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             x0_rows = m * warm_rows \
                 + (1.0 - m) * (bc_scale * self._dirichlet_rows)
 
+            # node-block (3x3) Jacobi when available: couples each node's
+            # displacement components through the inverted diagonal block
+            # of the constrained operator — a FIXED SPD preconditioner, so
+            # flexible=False keeps the 2-dots-per-iteration update.  It
+            # preserves the free-subspace invariant (identity blocks at
+            # constrained nodes), so the v4 apply_iter stays valid.
+            bp = (row_ops.block_precond
+                  if getattr(data, "mech_precond", "jacobi") == "block"
+                  else None)
+
             def solve(b, x0, unchanged):
                 tol = jnp.asarray(data.mech_cg_tol, d.dtype)
                 if data.mech_cg_relative:
@@ -429,7 +443,8 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                                 row_ops.diag_rows,
                                 tol=skip_tol(tol, unchanged),
                                 max_iter=data.cg_max_iterations,
-                                apply_iter=row_ops.free_apply)
+                                apply_iter=row_ops.free_apply,
+                                precond=bp, flexible=False)
 
             x, it, ok, st = maybe_solve(b_rows, x0_rows, solve)
             # u stays in rows — NO from_rows here: the projection RHS also

@@ -12,6 +12,23 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    The suite compiles hundreds of distinct XLA programs; each loaded
+    executable holds mmap'd code pages, and a single long pytest process
+    eventually exhausts vm.max_map_count (default 65530) — observed as a
+    segfault inside a *fresh* XLA compile near the end of the full suite,
+    reproducible only with the preceding suite state and with modest RSS.
+    Dropping jit caches per module lets executables be GC'd and unmapped;
+    within-module reuse (the expensive repeated solver compiles) is kept.
+    """
+    yield
+    jax.clear_caches()

@@ -318,3 +318,74 @@ def test_deferred_u_rows_residency():
         np.asarray(solver.materialize_u(sE).u), np.asarray(sF.u))
     # materialize_u is a no-op on an eager state
     assert solver.materialize_u(sA) is sA
+
+
+# ------------------------------------------- node-block Jacobi precond ----
+
+def test_elasticity_node_blocks_diag_matches_diagonal():
+    """The (c, c) entries of the per-node 3x3 blocks must reproduce the
+    assembled (Dirichlet-masked) operator diagonal exactly."""
+    from poroelasticity_dealii_tpu.ops.pallas_comp_major import \
+        elasticity_node_blocks
+    n = 4
+    Ke, disc = _cm_setup(n)
+    B = elasticity_node_blocks(Ke, n, np.asarray(disc.free_mask_u))
+    diag = np.einsum("ncc->nc", B).reshape(-1)
+    np.testing.assert_allclose(diag, np.asarray(disc.diag_elasticity),
+                               rtol=1e-12)
+
+
+def test_block_precond_matches_dense_blocks():
+    """rows-layout block apply == per-node 3x3 matvec on the flat layout,
+    and zeros at constrained/padding positions stay zero (the
+    free-subspace invariant the v4 apply_iter relies on)."""
+    from poroelasticity_dealii_tpu.ops.pallas_comp_major import (
+        elasticity_node_blocks, from_rows, make_block_precond, to_rows)
+    n = 3
+    Ke, disc = _cm_setup(n)
+    free = np.asarray(disc.free_mask_u)
+    B = elasticity_node_blocks(Ke, n, free)
+    Binv = np.linalg.inv(B)
+    bp = make_block_precond(Binv, n, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    r = rng.standard_normal(disc.n_udofs) * free       # free subspace
+    z_rows = bp(to_rows(jnp.asarray(r), n))
+    z = np.asarray(from_rows(z_rows, n))
+    z_ref = np.einsum("ncd,nd->nc", Binv, r.reshape(-1, 3)).reshape(-1)
+    np.testing.assert_allclose(z, z_ref, rtol=1e-12, atol=1e-14)
+    assert np.all(z[free == 0] == 0.0)
+    # padded plane count (the sharded rows shape): same answer
+    bp_pad = make_block_precond(Binv, n, dtype=jnp.float64, nz_pad=n + 3)
+    R = to_rows(jnp.asarray(r), n)
+    Rp = jnp.pad(R, ((0, 2 * 24), (0, 0)))
+    zp = np.asarray(from_rows(bp_pad(Rp)[:(n + 1) * 24], n))
+    np.testing.assert_allclose(zp, z_ref, rtol=1e-12, atol=1e-14)
+
+
+def test_mech_solve_block_precond_matches_jacobi():
+    """Block-preconditioned rows CG converges to the same solution as the
+    scalar-Jacobi one, in no more iterations (measured lever: fewer)."""
+    import dataclasses
+
+    from poroelasticity_dealii_tpu.solvers import FixedStressSolver
+    data = read_input_file(DECK)
+    data = dataclasses.replace(
+        data, dtype="float32", mech_cg_tol=1e-6, mech_cg_relative=True)
+    n = 4
+    sols = {}
+    for pc in ("jacobi", "block"):
+        d = dataclasses.replace(data, mech_precond=pc)
+        disc = build_grid_discretization(d, cells_per_axis=n,
+                                         multigrid="off",
+                                         elasticity_backend="pallas")
+        s = FixedStressSolver(disc, d)
+        p0 = jnp.full((disc.n_pdofs,), d.p_init, disc.dtype)
+        u0 = jnp.zeros((disc.n_udofs,), disc.dtype)
+        _, it, ok, _, u_rows, _ = s._mechanics_solve(p0, u0)
+        assert bool(ok)
+        sols[pc] = (int(it), np.asarray(disc.row_ops.from_rows(u_rows)))
+    it_j, u_j = sols["jacobi"]
+    it_b, u_b = sols["block"]
+    scale = np.abs(u_j).max()
+    np.testing.assert_allclose(u_b, u_j, atol=5e-5 * scale)
+    assert it_b <= it_j, (it_b, it_j)
