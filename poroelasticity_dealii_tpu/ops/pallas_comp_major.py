@@ -200,9 +200,13 @@ def make_block_precond(block_inv: np.ndarray, n: int, dtype=jnp.float32,
                                 fill)
                 plane = np.concatenate([plane, extra], axis=0)
             pl_[(c, d)] = plane
-    M = jnp.asarray(np.stack([pl_[(0, 0)], pl_[(0, 1)], pl_[(0, 2)],
-                              pl_[(1, 1)], pl_[(1, 2)], pl_[(2, 2)]]),
-                    dtype).reshape(6, nz_pad, 8, -1)
+    # Host numpy, NOT a device array: the lazy path builds this inside a
+    # trace, and a memoized jnp constant created under one trace leaks as
+    # a tracer into the next (observed under shard_map).  numpy operands
+    # embed as fresh compile-time constants in every trace.
+    M = np.stack([pl_[(0, 0)], pl_[(0, 1)], pl_[(0, 2)],
+                  pl_[(1, 1)], pl_[(1, 2)], pl_[(2, 2)]]).astype(
+        np.dtype(jnp.dtype(dtype).name)).reshape(6, nz_pad, 8, -1)
     W = _width(n)
 
     def block_precond(R):

@@ -176,3 +176,25 @@ def test_pressure_gmg_under_sharded_mesh(dmesh):
     y_sh = jax.jit(precond)(rs)
     np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
                                rtol=1e-12)
+
+
+def test_sharded_block_precond_step_matches_unsharded_jacobi(dmesh):
+    """'Mechanics preconditioner = block' on the SHARDED production path:
+    the identity-padded coefficient planes (nz_pad = n_dev * Lz) must ride
+    the z-slab decomposition, and — blocks being exactly diagonal on this
+    uniform deck (docs/VALIDATION.md node-block ablation) — the sharded
+    block-preconditioned step must match the unsharded scalar-Jacobi one."""
+    data, disc, sdisc = _production_pair(6, dmesh)
+    data_b = dataclasses.replace(data, mech_precond="block")
+    s1 = FixedStressSolver(disc, data)                  # jacobi, 1 device
+    s8 = FixedStressSolver(sdisc, data_b)               # block, 8 devices
+    a1, t1 = s1.time_step(s1.initial_state(), data.time_step)
+    a8, t8 = s8.time_step(s8.initial_state(), data.time_step)
+    assert int(t8.mech_cg_iterations) > 0
+    # identical preconditioner => same iteration trajectory
+    assert int(t8.mech_cg_iterations) == int(t1.mech_cg_iterations)
+    np.testing.assert_allclose(np.asarray(a8.p), np.asarray(a1.p),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(a8.u), np.asarray(a1.u),
+                               rtol=1e-8,
+                               atol=1e-10 * float(jnp.abs(a1.u).max()))
