@@ -14,6 +14,17 @@ import numpy as np
 from .forest import QuadForest
 
 
+def _morton(f: np.ndarray, n_bits: int, dim: int) -> np.ndarray:
+    """Interleave the low ``n_bits`` of ``f``'s (..., dim) integer
+    coordinates into one Morton (z-order) code, x in the least-significant
+    interleave slot (matching the leaf child layout)."""
+    code = np.zeros(f.shape[:-1], np.int64)
+    for b in range(n_bits):
+        for d in range(dim):
+            code |= ((f[..., d] >> b) & 1) << (b * dim + d)
+    return code
+
+
 def transfer_nodal(forest_old: QuadForest, mesh_old, values: np.ndarray,
                    new_points: np.ndarray) -> np.ndarray:
     """Evaluate the old Q1 field(s) at ``new_points``.
@@ -36,25 +47,21 @@ def transfer_nodal(forest_old: QuadForest, mesh_old, values: np.ndarray,
     values = np.atleast_2d(values)
     cellv = values[..., mesh_old.cells]                # (..., E, 2^dim)
 
-    # dense finest-resolution lookup: finest cell -> covering leaf.  Leaves
-    # partition the domain, so this reproduces the per-point coarse-to-fine
-    # search exactly, fully vectorized.  Memory is bounded by the forest
-    # depth (R^dim int32; golden AMR: 64^2).
-    grid = np.full((R,) * dim, -1, dtype=np.int32)
-    levels = np.empty(len(leaves), dtype=np.int64)
-    for i, leaf in enumerate(leaves):
-        l, idx = leaf[0], leaf[1:]
-        s = R >> l
-        block = tuple(slice(ix * s, (ix + 1) * s) for ix in idx)
-        # leaf layout: axis 0 = x; grid uses the same axis order
-        grid[block] = i
-        levels[i] = l
+    # Morton-order lookup: a leaf (l, idx) covers exactly the CONTIGUOUS
+    # Morton-code range [morton(idx << (Lmax-l)), + 2^(dim(Lmax-l))) of
+    # finest cells, and leaves partition the domain, so the covering leaf
+    # of a point is searchsorted(starts, code, 'right') - 1 on the
+    # Morton-sorted leaf starts.  O(E log E + P) time, O(E) memory — no
+    # dense R^dim grid (a level-10 3D forest would need GiBs of one).
+    lv = np.array([leaf[0] for leaf in leaves], dtype=np.int64)
+    li = np.array([leaf[1:] for leaf in leaves], dtype=np.int64)  # (E, dim)
+    starts = _morton(li << (Lmax - lv)[:, None], Lmax, dim)
+    order = np.argsort(starts)
 
     f = np.minimum((u * R).astype(np.int64), R - 1)     # (P, dim)
-    c = grid[tuple(f[:, d] for d in range(dim))]        # (P,)
-    if (c < 0).any():           # numerical edge case: nudge inward
-        bad = np.flatnonzero(c < 0)[0]
-        raise RuntimeError(f"point {new_points[bad]} not in any leaf")
+    c = order[np.searchsorted(starts[order], _morton(f, Lmax, dim),
+                              side="right") - 1]        # (P,)
+    levels = lv
     n = (1 << levels[c]).astype(np.float64)             # (P,)
     idx = np.minimum((u * n[:, None]).astype(np.int64),
                      (n[:, None] - 1).astype(np.int64))

@@ -63,6 +63,19 @@ class StepStats(NamedTuple):
     #                                    floor) rather than the iteration cap
 
 
+def _refined_inner(solve32, dtype):
+    """Mixed-precision refinement inner wrapper shared by the mechanics,
+    mass and pressure solves: normalize the f64 residual to unit norm
+    (guarding r == 0), solve in f32, rescale back.  ``solve32``:
+    f32 unit-norm rhs -> f32 solution."""
+    def inner(r):
+        s = jnp.linalg.norm(r)
+        safe = jnp.where(s > 0, s, 1.0)
+        x32 = solve32((r / safe).astype(jnp.float32))
+        return x32.astype(dtype) * safe
+    return inner
+
+
 def _rows_ready(ro) -> bool:
     """True when the full row-residency path is available: Pallas apply +
     rows-direct coupling AND projection RHS (one source of truth for the
@@ -177,42 +190,27 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 bp32 = (ro32.block_precond
                         if getattr(data, "mech_precond", "jacobi") == "block"
                         else None)
-
-                def inner(r):
-                    s = jnp.linalg.norm(r)
-                    safe = jnp.where(s > 0, s, 1.0)
-                    r32 = (r / safe).astype(jnp.float32)
-                    res = cg_solve(ro32.constrained_apply,
-                                   ro32.to_rows(r32), z0, ro32.diag_rows,
-                                   tol=itol, max_iter=cap,
-                                   apply_iter=ro32.free_apply,
-                                   precond=bp32, flexible=False)
-                    return ro32.from_rows(res.x).astype(d.dtype) * safe
+                inner = _refined_inner(
+                    lambda r32: ro32.from_rows(cg_solve(
+                        ro32.constrained_apply, ro32.to_rows(r32), z0,
+                        ro32.diag_rows, tol=itol, max_iter=cap,
+                        apply_iter=ro32.free_apply,
+                        precond=bp32, flexible=False).x), d.dtype)
             else:
                 z0 = jnp.zeros((disc32.n_udofs,), jnp.float32)
-
-                def inner(r):
-                    s = jnp.linalg.norm(r)
-                    safe = jnp.where(s > 0, s, 1.0)
-                    r32 = (r / safe).astype(jnp.float32)
-                    res = cg_solve(disc32.elasticity_constrained, r32, z0,
-                                   disc32.diag_elasticity, tol=itol,
-                                   max_iter=cap)
-                    return res.x.astype(d.dtype) * safe
+                inner = _refined_inner(
+                    lambda r32: cg_solve(
+                        disc32.elasticity_constrained, r32, z0,
+                        disc32.diag_elasticity, tol=itol,
+                        max_iter=cap).x, d.dtype)
 
             # same-scheme inner for the strain projection's mass solves
             # (f64 mass apply is 1.33 ms emulated; the f32 one 7 us)
             mass32 = disc32._hcp.constrained(disc32.mass)
             zp = jnp.zeros((disc32.n_pdofs,), jnp.float32)
-
-            def inner_mass(r):
-                s = jnp.linalg.norm(r)
-                safe = jnp.where(s > 0, s, 1.0)
-                r32 = (r / safe).astype(jnp.float32)
-                res = cg_solve(mass32, r32, zp, disc32.diag_mass,
-                               tol=itol, max_iter=cap)
-                return res.x.astype(d.dtype) * safe
-
+            inner_mass = _refined_inner(
+                lambda r32: cg_solve(mass32, r32, zp, disc32.diag_mass,
+                                     tol=itol, max_iter=cap).x, d.dtype)
             object.__setattr__(self, "_ir_mass", inner_mass)
             object.__setattr__(self, "_ir_disc32", disc32)
         object.__setattr__(self, "_ir_inner", inner)
@@ -244,15 +242,11 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         zp = jnp.zeros((disc32.n_pdofs,), jnp.float32)
         dtype = self.disc.dtype
 
-        def inner(r):
-            s = jnp.linalg.norm(r)
-            safe = jnp.where(s > 0, s, 1.0)
-            r32 = (r / safe).astype(jnp.float32)
-            res = cg_solve(lambda x: solver32._pressure_jacobian_apply(x, dt),
-                           r32, zp, diag32, tol=itol, max_iter=cap,
-                           precond=pre32)
-            return res.x.astype(dtype) * safe
-
+        inner = _refined_inner(
+            lambda r32: cg_solve(
+                lambda x: solver32._pressure_jacobian_apply(x, dt),
+                r32, zp, diag32, tol=itol, max_iter=cap,
+                precond=pre32).x, dtype)
         cache[dt] = inner
         return inner
 
@@ -613,10 +607,18 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         self._mixed_precision_inner()   # host-side build before tracing
         if isinstance(dt, (int, float)):
             self._fused_jacobian_stencil(dt)
-            self._pressure_precond(dt)
-            self._ir_pressure(dt)
+            # when refinement supplies the f32 pressure inner, the f64
+            # GMG hierarchy would be dead weight (pressure_inner's irp
+            # branch never touches it) — skip its emulated-f64 build
+            if self._ir_pressure(dt) is None:
+                self._pressure_precond(dt)
         ro = getattr(self.disc, "row_ops", None)
         rows_active = _rows_ready(ro)
+        if not rows_active:
+            # want_u is a static jit arg but a no-op off the rows path —
+            # clamp it so alternating values don't compile the identical
+            # graph twice (VTK/checkpoint cadence flips it per step)
+            want_u = True
         if rows_active:
             # normalize the input pytree: u_rows is the authoritative
             # layout through the step; dropping the (redundant) flat u
@@ -674,11 +676,16 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         ir = self._mixed_precision_inner()   # host context: safe to build
         if ir is not None:
             # f64 on TPU: a 5000-iteration Jacobi-CG of 98.7 ms emulated
-            # applies would take minutes; 2-3 refinement passes instead
+            # applies would take minutes; 2-3 refinement passes instead.
+            # x0 carries the Dirichlet pattern so r0 = b - A x0 is zero at
+            # constrained rows — the inner f32 rows CG iterates with
+            # free_apply (zero on constrained rows) and could never reduce
+            # a constrained residual component (it would spin to the cap
+            # with polluted step scalars).
             from .cg import richardson_solve
             res = jax.jit(lambda bb: richardson_solve(
-                d.elasticity_constrained, bb, jnp.zeros_like(bb), ir,
-                tol, max_iter=30))(b)
+                d.elasticity_constrained, bb,
+                (1.0 - d.free_mask_u) * bb, ir, tol, max_iter=30))(b)
             u_bc = res.x
         elif row_ops is not None:
             res = cg_solve(row_ops.constrained_apply, row_ops.to_rows(b),
@@ -715,7 +722,12 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             system; the predictor eps_v += (b/K) dp applies BEFORE each
             residual (PoroElasticPressureSolver.h:187-194)."""
             jac_diag = self._pressure_jacobian_diag(dt)
-            p_precond = self._pressure_precond(dt)
+            # refined f64 path: the f32 inner replaces the (f64) GMG
+            # preconditioner entirely — don't build the latter (the host
+            # wrapper deliberately skipped its eager warm)
+            irp0 = self.__dict__.get("_ir_press", {}).get(dt)
+            p_precond = None if irp0 is not None \
+                else self._pressure_precond(dt)
 
             r0 = self._pressure_residual(p, p_old, eps_v, eps_v0, dt)
             err0 = jnp.linalg.norm(r0)

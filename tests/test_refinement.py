@@ -112,3 +112,37 @@ def test_refined_residual_meets_reference_tolerance():
     r = b - d.elasticity_constrained(jnp.asarray(st.u))
     rel = float(jnp.linalg.norm(r)) / float(jnp.linalg.norm(b))
     assert rel < 1e-12, rel
+
+
+def test_refined_bc_response_ramp_rows_inner():
+    """The same bc-scale ramp with the ROWS f32 inner (interpret Pallas on
+    CPU): regression for the free-subspace violation where _bc_response
+    started Richardson from x0=0, leaving the Dirichlet pattern in the
+    residual — which the rows inner (apply_iter=free_apply, zero on
+    constrained rows) could never reduce, spinning the inner CG to its cap
+    with polluted step scalars."""
+    data = read_input_file(DECK)
+    data = dataclasses.replace(
+        data, dtype="float64", t_max=120.0,
+        mech_cg_tol=1e-12, mech_cg_relative=True,
+        elasticity_backend="pallas")
+    n = 4
+    sols = {}
+    for mode in ("off", "on"):
+        d = dataclasses.replace(data, mixed_precision_refinement=mode)
+        disc = build_grid_discretization(d, cells_per_axis=n,
+                                         multigrid="off")
+        s = FixedStressSolver(disc, d)
+        if mode == "on":
+            assert s._mixed_precision_inner() is not None
+            # the rows inner must actually be in play
+            assert getattr(s.__dict__.get("_ir_disc32"), "row_ops", None) \
+                is not None
+        st = s.initial_state()
+        st, stats = s.time_step(st, d.time_step, bc_scale=1.1,
+                                bc_scale_prev=1.0)
+        assert bool(stats.cg_converged), mode
+        sols[mode] = np.asarray(s.materialize_u(st).u)
+    scale = float(np.abs(sols["off"]).max())
+    np.testing.assert_allclose(sols["on"], sols["off"],
+                               rtol=0, atol=1e-9 * scale)
