@@ -397,7 +397,36 @@ def measure_x64(n_steps=1, cells=CELLS_PER_AXIS, elasticity_backend=None):
 BC_RATE = 0.05   # per-step Dirichlet load ramp for the evolving variant
 
 
+def _device_init_watchdog(timeout_s: float = 600.0):
+    """Fail FAST (clear message, rc=1) if accelerator init hangs.
+
+    The tunneled TPU plugin blocks indefinitely inside ``jax.devices()``
+    when the tunnel is down (observed: hours); without this guard the
+    bench would hang the whole round-end window instead of erroring.
+    Probes in a SUBPROCESS so this process's jax stays uninitialized
+    (build() must still be able to set jax_platforms)."""
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices())"],
+            timeout=timeout_s, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+        ok = proc.returncode == 0
+        detail = proc.stdout.strip()
+    except subprocess.TimeoutExpired:
+        ok, detail = False, f"no response in {timeout_s}s"
+    if not ok:
+        print(f"# FATAL: accelerator init failed ({detail or 'rc!=0'}) "
+              "— TPU tunnel down? Aborting instead of hanging.",
+              file=sys.stderr)
+        sys.exit(1)
+    print(f"# devices: {detail}", file=sys.stderr)
+
+
 def main():
+    if "--cpu-baseline" not in sys.argv:
+        _device_init_watchdog()
     backend = None
     if "--backend" in sys.argv:
         backend = sys.argv[sys.argv.index("--backend") + 1]
