@@ -250,6 +250,15 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         cache[dt] = inner
         return inner
 
+    def _ir_press_for(self, dt):
+        """Tracer-safe ``_ir_press`` cache lookup.  A TRACED dt (e.g. the
+        jitted ``__graft_entry__.entry()`` step takes dt as an argument)
+        is unhashable and can never have a cache entry anyway — the host
+        warm only populates Python-number dts."""
+        if not isinstance(dt, (int, float)):
+            return None
+        return self.__dict__.get("_ir_press", {}).get(dt)
+
     # ---------------- pressure system pieces -------------------------------
 
     def _pressure_residual(self, p, p_old, eps_v, eps_v0, dt):
@@ -289,6 +298,9 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             return None
         from .structured import ConvGridDiscretization, _gmg_levels
         d, data = self.disc, self.data
+        if not isinstance(dt, (int, float)):
+            return None       # traced dt: unhashable, and the hierarchy
+            #                   must not be built inside a trace anyway
         if not isinstance(d, ConvGridDiscretization):
             return None
         if not d.info_p.isotropic:
@@ -725,7 +737,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             # refined f64 path: the f32 inner replaces the (f64) GMG
             # preconditioner entirely — don't build the latter (the host
             # wrapper deliberately skipped its eager warm)
-            irp0 = self.__dict__.get("_ir_press", {}).get(dt)
+            irp0 = self._ir_press_for(dt)
             p_precond = None if irp0 is not None \
                 else self._pressure_precond(dt)
 
@@ -746,7 +758,7 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
                 # to the iteration cap: it sits below the V-cycle's f32
                 # attainable floor on real residuals.
                 ptol = data.pressure_cg_tol * jnp.linalg.norm(r)
-                irp = self.__dict__.get("_ir_press", {}).get(dt)
+                irp = self._ir_press_for(dt)
                 if irp is not None:
                     # f64 refinement: Richardson outer, full f32 GMG-CG
                     # inner per pass (see _ir_pressure) — ~1e-5
