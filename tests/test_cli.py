@@ -104,3 +104,24 @@ def test_deck_sharding_knob(tmp_path):
     p.write_text(deck)
     state = run_from_deck(str(p))
     assert np.isfinite(np.asarray(state.p)).all()
+
+
+def test_deck_sharding_production_knob(tmp_path):
+    """'TPU / Sharding = production' from the deck alone: the z-slab
+    sharded Pallas row backend + GSPMD stencil pressure runs end-to-end
+    through the CLI runner (3D pallas-eligible deck, 2 steps)."""
+    import numpy as np
+    from poroelasticity_dealii_tpu.models.runner import run_from_deck
+    deck = open("configs/consolidation_3d.data").read() + (
+        "\nsubsection Mesh\n  set Initial refinement level = 2\nend\n"
+        "subsection Solver\n  set Time max = 120\nend\n"
+        "subsection TPU\n  set Sharding = production\n  set Devices = 8\n"
+        "  set Elasticity backend = pallas\n"
+        "  set Dtype = float32\n  set Mechanics CG relative = true\n"
+        "  set Mechanics CG tolerance = 1e-5\n"
+        "  set Output VTK = false\n"
+        f"  set Output directory = {tmp_path}\nend\n")
+    p = tmp_path / "prod.data"
+    p.write_text(deck)
+    state = run_from_deck(str(p))
+    assert np.isfinite(np.asarray(state.p)).all()
