@@ -155,7 +155,7 @@ def shard_production_discretization(disc, device_mesh):
     """
     from .sharding import shard_grid_discretization
 
-    if disc.row_ops is None:
+    if getattr(disc, "row_ops", None) is None:   # generic discs lack the attr
         raise ValueError(
             "production sharding needs row_ops (3D Q2 equal-axis grid with "
             "elasticity_backend='pallas' or TPU auto)")
