@@ -79,6 +79,12 @@ class AMRSimulationRunner:
     def _rebuild(self):
         self.disc = build_amr_discretization(self.forest, self.data)
         sharding = getattr(self.data, "sharding", "none")
+        if getattr(self.data, "amr_bucketing", True) and sharding == "none":
+            # pad cells/dofs/constraint tables to shape buckets so
+            # remeshes landing in the same buckets reuse compiled
+            # executables (exact padding; see amr/bucketing.py)
+            from .bucketing import pad_amr_discretization
+            self.disc = pad_amr_discretization(self.disc)
         if sharding == "psum":
             # the one decomposition that supports hanging-node constraints
             # (tests/test_sharding.py::test_sharded_amr_mesh_1_vs_8);
@@ -92,8 +98,26 @@ class AMRSimulationRunner:
                 "require conforming/structured meshes)")
         self.solver = FixedStressSolver(self.disc, self.data)
 
+    def _real_state(self, state: State) -> State:
+        """Slice a (possibly bucket-padded) State to the real dof counts
+        for host consumers (Kelly, transfer, VTK, checkpoints)."""
+        from .bucketing import real_sizes, slice_state
+        n_p, n_u = real_sizes(self.disc)
+        if state.p.shape[0] == n_p:
+            return state
+        return slice_state(state, n_p, n_u)
+
+    def _padded_state(self, state: State) -> State:
+        """Zero-pad a real-sized State to the current disc's dof counts
+        (no-op when bucketing is off)."""
+        from .bucketing import pad_state
+        if state.p.shape[0] == self.disc.n_pdofs:
+            return state
+        return pad_state(state, self.disc.n_pdofs, self.disc.n_udofs)
+
     def _remesh(self, state: State) -> State:
         data = self.data
+        state = self._real_state(state)
         mesh_old = self.disc.pressure_space.mesh
         forest_old = type(self.forest)(self.forest.lower, self.forest.upper,
                                        set(self.forest.leaves))
@@ -127,12 +151,12 @@ class AMRSimulationRunner:
         u_vert = u_old[:mesh_old.n_vertices].T          # (dim, n_vertices)
         u_new = transfer_nodal(forest_old, mesh_old, u_vert,
                                self.disc.displacement_space.node_coords)
-        return State(
+        return self._padded_state(State(
             p=jnp.asarray(moved[0], dt),
             u=jnp.asarray(u_new.T.reshape(-1), dt),
             eps_v=jnp.asarray(moved[1], dt),
             eps_v0=jnp.asarray(moved[2], dt),
-            strains=jnp.asarray(moved[3:3 + n_voigt], dt))
+            strains=jnp.asarray(moved[3:3 + n_voigt], dt)))
 
     def _output(self, state: State, step: int):
         if not self.data.output_vtk:
@@ -141,6 +165,7 @@ class AMRSimulationRunner:
 
         from ..utils.vtk_io import (displacement_at_pressure_nodes,
                                     write_vtk)
+        state = self._real_state(state)
         sp = self.disc.pressure_space
         su = self.disc.displacement_space
         u_p = displacement_at_pressure_nodes(sp, su, np.asarray(state.u))
@@ -162,6 +187,7 @@ class AMRSimulationRunner:
                 self._rebuild()
             state, t, step = load_checkpoint_any(resume_from,
                                                  self.disc.dtype)
+            state = self._padded_state(state)
         else:
             state = self.solver.initial_state()
             self._output(state, 0)
@@ -176,33 +202,38 @@ class AMRSimulationRunner:
             state, stats = self.solver.time_step(state, data.time_step)
             state.p.block_until_ready()
             wall = time.perf_counter() - t0
+            mesh = self.disc.pressure_space.mesh     # REAL sizes for logs
             history.append({
-                "step": step, "time": t, "n_cells": self.disc.n_cells,
-                "n_pdofs": self.disc.n_pdofs,
+                "step": step, "time": t, "n_cells": mesh.n_cells,
+                "n_pdofs": self.disc.pressure_space.n_nodes,
                 "fss": int(stats.fss_iterations),
                 "err": float(stats.pressure_error), "wall_s": wall})
             if self.logger:
                 self.logger.log_step(step, t, stats, wall,
-                                     extra={"n_cells": self.disc.n_cells})
+                                     extra={"n_cells": mesh.n_cells})
             self._output(state, step)
             if data.checkpoint_every and step % data.checkpoint_every == 0:
                 import os
 
                 from ..utils.checkpoint import (save_checkpoint,
                                                 save_checkpoint_orbax)
+                # checkpoints carry REAL-sized fields: mesh-portable and
+                # bucketing-agnostic (resume re-pads for its own buckets)
+                ck_state = self._real_state(state)
                 if data.checkpoint_format == "orbax":
                     save_checkpoint_orbax(
                         os.path.join(data.checkpoint_directory,
                                      f"ckpt-{step:06d}"),
-                        state, t, step, forest=self.forest)
+                        ck_state, t, step, forest=self.forest)
                 else:
                     save_checkpoint(
                         os.path.join(data.checkpoint_directory,
                                      f"ckpt-{step:06d}.npz"),
-                        state, t, step, forest=self.forest)
+                        ck_state, t, step, forest=self.forest)
         if data.checkpoint_format == "orbax":
             # async saves must be durable before the process may exit
             # (same contract as SimulationRunner.run)
             from ..utils.checkpoint import wait_for_checkpoints
             wait_for_checkpoints()
-        return state, history
+        # callers see REAL-sized fields; bucket padding stays internal
+        return self._real_state(state), history

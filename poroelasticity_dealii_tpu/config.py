@@ -176,6 +176,13 @@ _SCHEMA = {
     ("TPU", "Nondimensionalize"): ("false", _str({"true", "false"})),
     ("TPU", "Refine every"): ("5", _int(0)),  # reference: every 5th step
     ("TPU", "AMR"): ("false", _str({"true", "false"})),
+    # Shape bucketing for adaptive runs: pad cells/dofs/constraint tables
+    # to geometric size buckets so remeshes that land in the same buckets
+    # reuse compiled executables (with the persistent compile cache, a
+    # bucket revisit costs a ~0.7 s re-trace instead of a 2-6 s CPU /
+    # ~26-39 s TPU recompile).  Padding is float-exact (phantom cells
+    # carry zero quadrature weight; phantom dofs are pinned to zero).
+    ("TPU", "AMR bucketing"): ("true", _str({"true", "false"})),
     # linear-solver tolerances (defaults = the reference's hardcoded values:
     # PoroElasticDisplacementSolver.h:298 abs 1e-12;
     # PoroElasticPressureSolver.h:175 / StrainProjector.h:209 rel 1e-8)
@@ -288,6 +295,7 @@ class InputData:
     sync_every: int = 1
     refine_every: int = 5
     amr: bool = False
+    amr_bucketing: bool = True
     mech_cg_tol: float = 1e-12
     mech_cg_relative: bool = False
     pressure_cg_tol: float = 1e-8
@@ -388,6 +396,7 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
         checkpoint_directory=vals[("TPU", "Checkpoint directory")],
         refine_every=vals[("TPU", "Refine every")],
         amr=vals[("TPU", "AMR")] == "true",
+        amr_bucketing=vals[("TPU", "AMR bucketing")] == "true",
         mech_cg_tol=vals[("TPU", "Mechanics CG tolerance")],
         mech_cg_relative=vals[("TPU", "Mechanics CG relative")] == "true",
         pressure_cg_tol=vals[("TPU", "Pressure CG tolerance")],

@@ -71,13 +71,19 @@ class Discretization:
     hc_p: object = None
     hc_u: object = None
 
+    # Sizes derive from the ARRAYS, not the FE spaces: the AMR bucketing
+    # path (amr/bucketing.py) pads cells/dofs to shape buckets so remeshes
+    # reuse compiled executables — solver-visible sizes are then the padded
+    # ones, while host consumers (VTK, transfer, Kelly) keep using the
+    # spaces' real node counts.  On conforming/structured discretizations
+    # the two coincide.
     @property
     def n_pdofs(self) -> int:
-        return self.pressure_space.n_nodes
+        return self.free_mask_p.shape[0]
 
     @property
     def n_udofs(self) -> int:
-        return self.pressure_space.mesh.dim * self.displacement_space.n_nodes
+        return self.free_mask_u.shape[0]
 
     @property
     def n_cells(self) -> int:
