@@ -69,6 +69,8 @@ class AMRSimulationRunner:
         if data.dim not in (2, 3):
             raise NotImplementedError("AMR needs dim 2 or 3")
         self.data = data
+        from ..models.runner import enable_compile_cache
+        enable_compile_cache()   # shape buckets + cache = cheap remeshes
         size = np.asarray(data.domain_size[:data.dim], float)
         forest_cls = QuadForest if data.dim == 2 else OctForest
         self.forest = forest_cls.uniform(-size / 2, size / 2,

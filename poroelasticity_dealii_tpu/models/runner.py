@@ -86,6 +86,7 @@ class SimulationRunner:
         (run logs and checkpoints stay in solver units)."""
         self.scales = scales
         self.data = data
+        enable_compile_cache()   # re-runs/restarts warm-start compiles
         if disc is not None:
             self.disc = disc
         elif mesh is not None:

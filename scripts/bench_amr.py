@@ -58,7 +58,7 @@ def main():
         state, stats = runner.solver.time_step(state, data.time_step)
         state.p.block_until_ready()
         wall = time.perf_counter() - t0
-        rec = {"step": step, "n_cells": runner.disc.n_cells,
+        rec = {"step": step, "n_cells": runner.disc.pressure_space.mesh.n_cells,
                "solve_ms": round(wall * 1e3, 1),
                "fss": int(stats.fss_iterations)}
         if did_remesh:
@@ -94,7 +94,7 @@ def main():
         "metric": "amr_golden_2d_adaptive_run",
         "backend": jax.default_backend(),
         "steps": step,
-        "final_n_cells": runner.disc.n_cells,
+        "final_n_cells": runner.disc.pressure_space.mesh.n_cells,
         "steady_solve_ms_median": round(float(np.median(warm)), 1),
         "steady_solve_ms_max": round(float(np.max(warm)), 1),
         "remesh_steps": remesh,
