@@ -81,10 +81,13 @@ class AMRSimulationRunner:
     def _rebuild(self):
         self.disc = build_amr_discretization(self.forest, self.data)
         sharding = getattr(self.data, "sharding", "none")
-        if getattr(self.data, "amr_bucketing", True) and sharding == "none":
+        if getattr(self.data, "amr_bucketing", True):
             # pad cells/dofs/constraint tables to shape buckets so
             # remeshes landing in the same buckets reuse compiled
-            # executables (exact padding; see amr/bucketing.py)
+            # executables (exact padding; see amr/bucketing.py).  Composes
+            # with psum sharding below: shard_discretization uses the same
+            # zero-jxw phantom-cell convention and the bucketed cell count
+            # (a 32-multiple) already divides the device mesh.
             from .bucketing import pad_amr_discretization
             self.disc = pad_amr_discretization(self.disc)
         if sharding == "psum":

@@ -127,3 +127,27 @@ def test_pad_is_independent_of_which_cells_are_hanging():
         rtol=1e-12, atol=1e-6)
     # padded tails stay exactly zero (mass/laplace) — nothing leaks
     assert float(jnp.abs(padded.mass(pp)[n_p:]).max()) == 0.0
+
+
+def test_bucketed_psum_sharded_adaptive_run():
+    """Bucketing composes with 'Sharding = psum' (the one AMR-capable
+    decomposition): the sharded bucketed adaptive run matches the
+    unsharded unbucketed one."""
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    data = read_input_file(DECK)
+    data = dataclasses.replace(data, amr=True, output_vtk=False,
+                               t_max=6 * data.time_step)
+    r0 = AMRSimulationRunner(dataclasses.replace(data, amr_bucketing=False))
+    s0, h0 = r0.run()
+    r1 = AMRSimulationRunner(dataclasses.replace(
+        data, amr_bucketing=True, sharding="psum", n_devices=8))
+    s1, h1 = r1.run()
+    assert [h["n_cells"] for h in h0] == [h["n_cells"] for h in h1]
+    np.testing.assert_allclose(np.asarray(s1.p), np.asarray(s0.p),
+                               rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(s1.u), np.asarray(s0.u),
+        atol=1e-13 * np.abs(np.asarray(s0.u)).max())
