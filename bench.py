@@ -411,9 +411,11 @@ def _device_init_watchdog(timeout_s: float = 600.0):
             [sys.executable, "-c",
              "import jax; print(jax.devices())"],
             timeout=timeout_s, text=True,
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         ok = proc.returncode == 0
         detail = proc.stdout.strip()
+        if not ok:      # keep the real init error, not just "rc!=0"
+            detail = "\n".join(detail.splitlines()[-5:])
     except subprocess.TimeoutExpired:
         ok, detail = False, f"no response in {timeout_s}s"
     if not ok:

@@ -98,9 +98,13 @@ def pad_amr_discretization(disc, ratio: float = 1.25, quantum: int = 32):
 
     # constraint tables: W padded to the dim/degree-stable width so a
     # mesh moment with only edge (not face) constraints still buckets
-    w_cap_u = max((disc.displacement_space.degree + 1) ** (dim - 1) * 1,
+    # width = one face's worth of master dofs, (k+1)^(dim-1).  Vector
+    # components add constraint ROWS (constraints._pack_rows expands
+    # H × n_comp), never width — each row's masters are same-component —
+    # so no per-component factor applies here
+    w_cap_u = max((disc.displacement_space.degree + 1) ** (dim - 1),
                   int(disc._hcu.masters.shape[1]))
-    w_cap_p = max((disc.pressure_space.degree + 1) ** (dim - 1) * 1,
+    w_cap_p = max((disc.pressure_space.degree + 1) ** (dim - 1),
                   int(disc._hcp.masters.shape[1]))
     hc_p = _pad_constraints(
         disc._hcp, npp,

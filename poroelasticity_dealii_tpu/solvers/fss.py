@@ -295,12 +295,10 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         """GMG V-cycle for the pressure Jacobian (conv backend + static dt
         only); None -> caller falls back to Jacobi."""
         if not isinstance(dt, (int, float)):
-            return None
-        from .structured import ConvGridDiscretization, _gmg_levels
-        d, data = self.disc, self.data
-        if not isinstance(dt, (int, float)):
             return None       # traced dt: unhashable, and the hierarchy
             #                   must not be built inside a trace anyway
+        from .structured import ConvGridDiscretization, _gmg_levels
+        d, data = self.disc, self.data
         if not isinstance(d, ConvGridDiscretization):
             return None
         if not d.info_p.isotropic:

@@ -16,14 +16,12 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-try:    # persistent compile cache: repeated suite runs skip XLA compiles
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.expanduser("~"), ".cache",
-                     "poroelasticity_dealii_tpu", "xla"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+
+# persistent compile cache: repeated suite runs skip XLA compiles (same
+# cache the production runners use)
+from poroelasticity_dealii_tpu.models.runner import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 
 @pytest.fixture(autouse=True, scope="module")
