@@ -65,10 +65,15 @@ class AMRSimulationRunner:
     dim-templated, so 3D is in-scope parity).
     """
 
-    def __init__(self, data: InputData, logger=None):
+    def __init__(self, data: InputData, logger=None, scales=None):
+        """``scales``: a :class:`..models.scaling.Scales` when ``data`` is
+        already nondimensionalized — VTK output rescales back to SI (the
+        adaptive loop itself is scale-invariant: Kelly marks are chosen by
+        fixed fractions, not absolute thresholds)."""
         if data.dim not in (2, 3):
             raise NotImplementedError("AMR needs dim 2 or 3")
         self.data = data
+        self.scales = scales
         from ..models.runner import enable_compile_cache
         enable_compile_cache()   # shape buckets + cache = cheap remeshes
         size = np.asarray(data.domain_size[:data.dim], float)
@@ -175,10 +180,16 @@ class AMRSimulationRunner:
         su = self.disc.displacement_space
         u_p = displacement_at_pressure_nodes(sp, su, np.asarray(state.u))
         stresses = np.asarray(self.solver.effective_stresses(state.strains))
+        p = np.asarray(state.p)
+        if self.scales is not None:       # back to SI for visualization
+            import dataclasses as _dc
+            u_p = self.scales.u(u_p)
+            stresses = self.scales.stresses(stresses)
+            p = self.scales.p(p)
+            sp = _dc.replace(sp, node_coords=self.scales.u(sp.node_coords))
         path = os.path.join(self.data.output_directory,
                             f"solution-{step:04d}.vtk")
-        write_vtk(path, sp, u_p, np.asarray(state.p),
-                  np.asarray(state.strains), stresses)
+        write_vtk(path, sp, u_p, p, np.asarray(state.strains), stresses)
 
     def run(self, n_steps: Optional[int] = None,
             resume_from: Optional[str] = None):

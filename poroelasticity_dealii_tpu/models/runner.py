@@ -217,12 +217,11 @@ def run_from_data(data: InputData, resume_from: Optional[str] = None) -> State:
         from .scaling import nondimensionalize
         data, scales = nondimensionalize(data)
     if data.amr:
-        if scales is not None:
-            raise NotImplementedError("Nondimensionalize with AMR")
         from ..amr.driver import AMRSimulationRunner
         runner = AMRSimulationRunner(
             data, logger=RunLogger(
-                os.path.join(data.output_directory, "run_log.jsonl")))
+                os.path.join(data.output_directory, "run_log.jsonl")),
+            scales=scales)
         state, _ = runner.run(resume_from=resume_from)
         return state
     runner = SimulationRunner(data, scales=scales)

@@ -92,3 +92,82 @@ def test_nondimensional_runner_outputs_si(tmp_path):
     pts = re.search(r"POINTS \d+ double\n([\s\S]+?)CELLS", vtk).group(1)
     coords = np.array([float(v) for v in pts.split()])
     assert np.isclose(np.abs(coords).max(), 5.0)   # 10 m domain, meters
+
+
+def test_nondimensional_amr_matches_dimensional(tmp_path):
+    """Nondimensionalize composes with AMR: Kelly's error distribution is
+    scale-invariant, so the remesh picks the same cells and fields match
+    after rescaling.
+
+    Asymmetric 10x14 domain: on the square golden deck the well's mirror
+    symmetry makes pairs of cells carry Kelly etas equal to ~9 digits,
+    and the fixed-fraction marking — an exact sort with cumulative-
+    fraction cutoffs — can then refine DIFFERENT (but equally valid)
+    near-tied cells under the rescale's ~1e-9 rounding differences
+    (observed: same leaf count, one flipped cell pair, 1%-level local p
+    differences from comparing different meshes).  Breaking the symmetry
+    removes the ties; parity is then exact to machine precision."""
+    from poroelasticity_dealii_tpu.amr.driver import AMRSimulationRunner
+    base = read_input_file(GOLDEN)
+    base = dataclasses.replace(
+        base, amr=True, initial_refinement_level=3, max_refinement_level=1,
+        refine_every=3, t_max=300.0, output_vtk=False,
+        domain_size=(10.0, 14.0), output_directory=str(tmp_path))
+    st_dim, hist_dim = AMRSimulationRunner(base).run()
+    scaled, sc = nondimensionalize(base)
+    st_nd, hist_nd = AMRSimulationRunner(scaled, scales=sc).run()
+    cells_dim = [h["n_cells"] for h in hist_dim]
+    assert cells_dim == [h["n_cells"] for h in hist_nd]
+    assert cells_dim[0] != cells_dim[-1]          # the remesh happened
+    assert [h["fss"] for h in hist_dim] == [h["fss"] for h in hist_nd]
+    np.testing.assert_allclose(sc.p(np.asarray(st_nd.p)),
+                               np.asarray(st_dim.p), rtol=1e-9)
+    np.testing.assert_allclose(sc.u(np.asarray(st_nd.u)),
+                               np.asarray(st_dim.u), rtol=1e-7, atol=1e-16)
+
+
+def test_kelly_distribution_scale_invariant():
+    """The marking input itself: Kelly eta on the nondimensionalized
+    problem is a uniform multiple of the dimensional eta (normalized
+    distributions equal), which is why fixed-fraction marks agree."""
+    from poroelasticity_dealii_tpu.amr.driver import AMRSimulationRunner
+    base = read_input_file(GOLDEN)
+    base = dataclasses.replace(base, amr=True, initial_refinement_level=3,
+                               max_refinement_level=1, output_vtk=False)
+    scaled, sc = nondimensionalize(base)
+    from poroelasticity_dealii_tpu.amr.kelly import kelly_estimate
+
+    def eta_after(data, scales):
+        r = AMRSimulationRunner(data, scales=scales)
+        st, _ = r.run(n_steps=2)
+        st = r._real_state(st)
+        return np.asarray(kelly_estimate(
+            r.forest, r.disc.pressure_space.mesh, np.asarray(st.p)))
+
+    eta_dim = eta_after(base, None)
+    eta_nd = eta_after(scaled, sc)
+    np.testing.assert_allclose(eta_nd / eta_nd.sum(),
+                               eta_dim / eta_dim.sum(), rtol=1e-6,
+                               atol=1e-12 * eta_dim.max() / eta_dim.sum())
+
+
+def test_nondimensional_amr_from_deck_outputs_si(tmp_path):
+    """run_from_data wiring: AMR + Nondimensionalize writes SI VTK."""
+    import os
+    import re
+    from poroelasticity_dealii_tpu.models.runner import run_from_data
+    data = read_input_file(GOLDEN)
+    data = dataclasses.replace(
+        data, amr=True, initial_refinement_level=3, max_refinement_level=1,
+        refine_every=2, t_max=180.0, nondimensionalize=True,
+        output_directory=str(tmp_path))
+    os.makedirs(data.output_directory, exist_ok=True)
+    run_from_data(data)
+    vtk = open(tmp_path / "solution-0003.vtk").read()
+    m = re.search(r"SCALARS p[^\n]*\nLOOKUP_TABLE default\n([\s\S]+?)"
+                  r"SCALARS", vtk)
+    vals = np.array([float(v) for v in m.group(1).split()])
+    assert 0.9e7 < vals.max() < 1.3e7    # Pa, not E-scaled
+    pts = re.search(r"POINTS \d+ double\n([\s\S]+?)CELLS", vtk).group(1)
+    coords = np.array([float(v) for v in pts.split()])
+    assert np.isclose(np.abs(coords).max(), 5.0)   # meters
