@@ -93,6 +93,9 @@ class SimulationRunner:
             self.disc = build_discretization(mesh, data)
         elif data.mesh_file:
             mesh = read_msh(data.mesh_file, dim=data.dim)
+            if scales is not None:      # same L as the deck rescale
+                from .scaling import scale_mesh
+                mesh = scale_mesh(mesh, scales)
             self.disc = build_discretization(mesh, data)
         else:
             # uniform rectilinear domain: gather/scatter-free fast path

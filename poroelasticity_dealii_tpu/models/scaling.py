@@ -66,13 +66,12 @@ class Scales(NamedTuple):
 def nondimensionalize(data: InputData):
     """Return ``(scaled InputData, Scales)``.
 
-    Raises for gmsh meshes (vertex coordinates are dimensional and live
-    outside the deck) — generate the grid from ``Domain size`` instead.
+    With a gmsh ``Mesh file`` the deck's ``Domain size`` still defines
+    the length scale L (any L gives an exact similarity rescale as long
+    as it is applied to EVERY length); the runner divides the loaded
+    mesh coordinates by the same L (see :func:`scale_mesh`), which makes
+    the gmsh path equivalent to the structured generator's scaled grid.
     """
-    if data.mesh_file:
-        raise NotImplementedError(
-            "Nondimensionalize with a gmsh mesh file: the mesh coordinates "
-            "are dimensional; use the structured generator")
     L = float(max(data.domain_size))
     S = float(data.youngs_modulus)
     T = float(data.time_step)
@@ -102,3 +101,11 @@ def nondimensionalize(data: InputData):
         nondimensionalize=False,   # applied exactly once
     )
     return scaled, Scales(length=L, stress=S, time=T)
+
+
+def scale_mesh(mesh, scales: Scales):
+    """Divide a (dimensional) mesh's vertex coordinates by the length
+    scale — the mesh-file counterpart of generating the structured grid
+    from the scaled ``Domain size``."""
+    import dataclasses as _dc
+    return _dc.replace(mesh, vertices=mesh.vertices / scales.length)

@@ -171,3 +171,25 @@ def test_nondimensional_amr_from_deck_outputs_si(tmp_path):
     pts = re.search(r"POINTS \d+ double\n([\s\S]+?)CELLS", vtk).group(1)
     coords = np.array([float(v) for v in pts.split()])
     assert np.isclose(np.abs(coords).max(), 5.0)   # meters
+
+
+def test_nondimensional_gmsh_mesh_matches_dimensional():
+    """Nondimensionalize with a gmsh Mesh file: the runner divides the
+    loaded coordinates by the deck's L, making the rescale an exact
+    similarity transform on the irregular mesh too."""
+    from poroelasticity_dealii_tpu.models.runner import SimulationRunner
+    base = read_input_file("configs/irregular_2d.data")
+    base = dataclasses.replace(base, t_max=180.0, output_vtk=False)
+    r_dim = SimulationRunner(base)
+    st_dim = r_dim.solver.initial_state()
+    for _ in range(3):
+        st_dim, _ = r_dim.solver.time_step(st_dim, base.time_step)
+    scaled, sc = nondimensionalize(base)
+    r_nd = SimulationRunner(scaled, scales=sc)
+    st_nd = r_nd.solver.initial_state()
+    for _ in range(3):
+        st_nd, _ = r_nd.solver.time_step(st_nd, scaled.time_step)
+    np.testing.assert_allclose(sc.p(np.asarray(st_nd.p)),
+                               np.asarray(st_dim.p), rtol=1e-9)
+    np.testing.assert_allclose(sc.u(np.asarray(st_nd.u)),
+                               np.asarray(st_dim.u), rtol=1e-7, atol=1e-16)
