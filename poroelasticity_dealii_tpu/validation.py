@@ -21,6 +21,8 @@ Reference map (every step cites the C++ it re-executes):
   ``int psi_i eps_c(u)`` — ``StrainProjector.h:101-198``;
 * the well source FEM RHS — ``right_hand_side.h:99-116`` via
   ``PoroElasticPressureSolver.h:142-148``;
+* Neumann traction faces with the reference's ``value * n_c`` semantics —
+  ``PoroElasticDisplacementSolver.h:249-277`` (SURVEY §2.1.11);
 * the FSS loop structure, including the quirks: eps_v evolves ONLY through
   the predictor ``eps_v += (b/K) du`` applied at the TOP of each inner
   iteration (``PoroelasticityFSS.h:358-384``,
@@ -51,7 +53,8 @@ from .ops.geometry import geometry_factors
 from .ops.operators import VOIGT_PAIRS, VOLUMETRIC_ENTRIES
 from .ops.quadrature import gauss_tensor
 from .ops.shape import shape_tables
-from .solvers.discretization import (_dirichlet_constraints, _well_vector)
+from .solvers.discretization import (_dirichlet_constraints, _neumann_vector,
+                                     _well_vector)
 
 
 def _assemble(element_matrices, rows_conn, cols_conn, n_rows, n_cols):
@@ -81,9 +84,6 @@ class ReferenceRerun:
     (uniform mesh — the reference's AMR path is exercised separately)."""
 
     def __init__(self, data: InputData):
-        if data.stress_boundary_labels:
-            raise NotImplementedError(
-                "oracle supports the golden deck (no Neumann faces)")
         dim = data.dim
         self.data = data
         mesh = hyper_rectangle(data.domain_size,
@@ -165,6 +165,12 @@ class ReferenceRerun:
         x_q = np.einsum("qv,evd->eqd", n1, corner)
         self.f_well = _well_vector(sp_p, data, jxw_p, psi_p, x_q)
 
+        # traction faces (PoroElasticDisplacementSolver.h:249-277; the
+        # value*n_c semantics of SURVEY §2.1.11) — host-side setup vector
+        # from the same unit-tested primitive family as the well/BC
+        # identification shared above
+        self.f_neumann = _neumann_vector(mesh, sp_u, data)
+
         # Dirichlet split (PoroElasticDisplacementSolver.h:117-137)
         free, vals = _dirichlet_constraints(mesh, sp_u, data)
         self.free = free
@@ -177,7 +183,7 @@ class ReferenceRerun:
     # ---- the three solves -------------------------------------------------
     def solve_mechanics(self, p, u_warm):
         """CG abs tol 1e-12 (PoroElasticDisplacementSolver.h:294-307)."""
-        rhs = (self.C @ p)
+        rhs = (self.C @ p) + self.f_neumann
         b = rhs[self.free] - self.K_lift
         x, it, ok = _cg(self.Kff, b, u_warm[self.free], rtol=0.0,
                         atol=1e-12)

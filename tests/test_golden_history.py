@@ -67,3 +67,32 @@ def test_reference_rerun_matches_recorded():
                                    rtol=1e-6)
         np.testing.assert_allclose(h["fss_error_history"],
                                    r["fss_error_history"], rtol=1e-6)
+
+
+def test_oracle_vs_production_with_tractions():
+    """The oracle covers Neumann faces too: a traction-loaded variant of
+    the golden deck (top load replaced by value*n_y stress BC) produces
+    identical FSS/pressure iteration counts and matching residual norms
+    in both implementations."""
+    from poroelasticity_dealii_tpu.validation import run_reference_algorithm
+    data = read_input_file(GOLDEN)
+    data = dataclasses.replace(
+        data,
+        # rollers left/bottom, compression tractions right/top
+        displacement_boundary_labels=(0, 2),
+        displacement_boundary_components=(0, 1),
+        displacement_boundary_values=(0.0, 0.0),
+        stress_boundary_labels=(1, 3),
+        stress_boundary_components=(0, 1),
+        stress_boundary_values=(-2.5e6, -2.5e6))
+    oracle = run_reference_algorithm(data, n_steps=3)
+    mesh = hyper_rectangle(data.domain_size, data.initial_refinement_level)
+    disc = build_discretization(mesh, data)
+    solver = FixedStressSolver(disc, data)
+    state = solver.initial_state()
+    for o in oracle:
+        state, s = solver.time_step(state, data.time_step)
+        assert int(s.fss_iterations) == o["fss_iterations"]
+        assert int(s.pressure_iterations) == o["pressure_iterations"]
+        np.testing.assert_allclose(float(s.pressure_error),
+                                   o["pressure_error"], rtol=1e-6)
