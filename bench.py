@@ -79,7 +79,8 @@ def build(platform=None, cells=CELLS_PER_AXIS, elasticity_backend=None):
     return data, disc, solver, n_dofs
 
 
-def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag=""):
+def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag="",
+            scan=False):
     """Average ms/step.  ``bc_rate`` > 0 ramps the Dirichlet loading by
     that fraction per step (``bc_scale = 1 + bc_rate * step``) — the
     evolving-mechanics regime where the displacement system must re-solve
@@ -153,7 +154,32 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag=""):
     print(f"# {tag}chained x{n_chain}: {chained*1e3:.1f} ms/step "
           f"(synced avg {sum(times)/len(times)*1e3:.1f}, "
           f"rtt {rtt*1e3:.1f} ms excluded)", file=sys.stderr)
-    return chained, sum(times) / len(times)
+    scanned = None
+    if scan:
+        # fused pass: the runner's 'TPU / Steps per dispatch' mode — one
+        # lax.scan dispatch per n_chain steps (multi_step), removing even
+        # the per-step host dispatch the chain above still pays
+        def block(st, first_step):
+            bc = [1.0 + bc_rate * (first_step + i) for i in range(n_chain)]
+            return solver.multi_step(
+                st, data.time_step, bc_scales=bc,
+                bc_scale_prev=1.0 + bc_rate * (first_step - 1),
+                want_u=False)
+
+        s1 = s0 + n_chain
+        t0 = time.perf_counter()
+        state, _ = block(state, s1)                 # includes scan compile
+        state.p.block_until_ready()
+        print(f"# {tag}scan warm block (incl. compile): "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        state, stats = block(state, s1 + n_chain)
+        state.p.block_until_ready()
+        scanned = max(time.perf_counter() - t0 - rtt, 1e-9) / n_chain
+        assert np.isfinite(float(stats.pressure_error[-1]))
+        print(f"# {tag}scanned x{n_chain} (one dispatch): "
+              f"{scanned*1e3:.1f} ms/step", file=sys.stderr)
+    return chained, sum(times) / len(times), scanned
 
 
 def _op_models(data, disc):
@@ -377,7 +403,7 @@ def build_x64(cells=CELLS_PER_AXIS, elasticity_backend=None):
 def measure_x64(n_steps=1, cells=CELLS_PER_AXIS, elasticity_backend=None):
     """ms/step (chained, synced) for the f64 reference-tolerance run."""
     data, disc, solver = build_x64(cells, elasticity_backend)
-    ms, ms_sync = measure(data, solver, n_steps=n_steps, tag="x64 ")
+    ms, ms_sync, _ = measure(data, solver, n_steps=n_steps, tag="x64 ")
     return {
         "ms_per_step_chained": round(ms * 1e3, 2),
         "ms_per_step_synced": round(ms_sync * 1e3, 2),
@@ -458,13 +484,15 @@ def main():
     data, disc, solver, n_dofs = build(elasticity_backend=backend)
     # variant 1: the original quasi-static deck (steady loading; mechanics
     # mostly satisfied by warm starts — the pressure-path regime)
-    ms, ms_sync = measure(data, solver)
+    ms, ms_sync, ms_scan = measure(data, solver, scan=True)
     ms, ms_sync = ms * 1e3, ms_sync * 1e3
+    ms_scan = ms_scan * 1e3 if ms_scan else None
     # variant 2: evolving mechanics (ramped plate load; mech CG > 0 every
     # step, asserted) — the regime the round-1 bench missed
-    ms_ev, ms_ev_sync = measure(data, solver, bc_rate=BC_RATE,
-                                tag="evolving ")
+    ms_ev, ms_ev_sync, ms_ev_scan = measure(data, solver, bc_rate=BC_RATE,
+                                            tag="evolving ", scan=True)
     ms_ev, ms_ev_sync = ms_ev * 1e3, ms_ev_sync * 1e3
+    ms_ev_scan = ms_ev_scan * 1e3 if ms_ev_scan else None
     util = breakdown(data, disc, solver, quiet=False)
     # f64 reference-tolerance variant (recorded alongside, not the
     # headline).  Runs in a BOUNDED subprocess so a TPU fault or an
@@ -517,6 +545,15 @@ def main():
                                  if vs_baseline_ev else None),
         "synced_ms_per_step": round(ms_sync, 2),
         "evolving_synced_ms_per_step": round(ms_ev_sync, 2),
+        # 'TPU / Steps per dispatch' mode: 10 steps fused into ONE
+        # lax.scan dispatch (FixedStressSolver.multi_step) — the
+        # max-throughput production configuration (per-step host dispatch
+        # eliminated; the chained number above still pays it per step).
+        # Reported alongside, not as 'value', so vs_baseline stays
+        # chained-vs-chained against the recorded CPU baseline.
+        "scan_ms_per_step": round(ms_scan, 2) if ms_scan else None,
+        "evolving_scan_ms_per_step": (round(ms_ev_scan, 2)
+                                      if ms_ev_scan else None),
         "x64_reference_tol": x64,
         "utilization": util,
     }))

@@ -167,6 +167,13 @@ _SCHEMA = {
     # back-to-back (JAX async) and reads stats/logs at sync points only —
     # per-step blocking costs ~35 ms of host round-trip on remote TPUs
     ("TPU", "Sync every"): ("1", _int(1)),
+    # step-fusion cadence: with K > 1 the runner executes K time steps as
+    # ONE jitted lax.scan dispatch (FixedStressSolver.multi_step) — the
+    # per-step host dispatch cost disappears entirely; per-step stats are
+    # still logged (read from the stacked block stats).  Divergence/stall
+    # detection is deferred to block boundaries, like 'Sync every'.
+    # Steps a host consumer reads (VTK cadence, checkpoints) end a block.
+    ("TPU", "Steps per dispatch"): ("1", _int(1)),
     ("TPU", "Checkpoint directory"): ("./checkpoints", _str()),
     ("TPU", "Checkpoint format"): ("npz", _str({"npz", "orbax"})),
     # internal similarity rescale of the whole problem to O(1) magnitudes
@@ -293,6 +300,7 @@ class InputData:
     checkpoint_format: str = "npz"
     nondimensionalize: bool = False
     sync_every: int = 1
+    steps_per_dispatch: int = 1
     refine_every: int = 5
     amr: bool = False
     amr_bucketing: bool = True
@@ -393,6 +401,7 @@ def from_entries(entries: Dict[Tuple[str, str], str]) -> InputData:
         checkpoint_format=vals[("TPU", "Checkpoint format")],
         nondimensionalize=vals[("TPU", "Nondimensionalize")] == "true",
         sync_every=vals[("TPU", "Sync every")],
+        steps_per_dispatch=vals[("TPU", "Steps per dispatch")],
         checkpoint_directory=vals[("TPU", "Checkpoint directory")],
         refine_every=vals[("TPU", "Refine every")],
         amr=vals[("TPU", "AMR")] == "true",

@@ -183,23 +183,53 @@ class SimulationRunner:
                         "reaching tolerance", RuntimeWarning)
             pending.clear()
 
+        # 'TPU / Steps per dispatch = K' fuses K steps into ONE jitted
+        # lax.scan dispatch (FixedStressSolver.multi_step): per-step host
+        # dispatch cost vanishes; per-step stats still come out (stacked).
+        # Blocks end early at steps a host consumer must read (VTK cadence,
+        # checkpoints) — with 'Output VTK = true' every step is read, so K
+        # effectively stays 1 there.
+        steps_per_dispatch = max(1, getattr(data, "steps_per_dispatch", 1))
+
+        def _needed(s):
+            """Host consumers of step s's full State (VTK / checkpoint)."""
+            return bool(data.output_vtk
+                        or (data.checkpoint_every
+                            and s % data.checkpoint_every == 0))
+
+        import jax
+
         while t < data.t_max:
-            t += dt
-            step += 1
-            # only steps some host consumer (VTK, checkpoint) will read
-            # pay for the flat-u materialization (want_u); pure compute
-            # steps keep u in the row layout end to end
-            needed = bool(data.output_vtk
-                          or (data.checkpoint_every
-                              and step % data.checkpoint_every == 0))
+            remaining = max(1, int(np.ceil((data.t_max - t) / dt - 1e-12)))
+            B = min(steps_per_dispatch, remaining)
+            for j in range(1, B):     # end the block at the first read step
+                if _needed(step + j):
+                    B = j
+                    break
+            needed = _needed(step + B)
             t0 = time.perf_counter()
-            state, stats = self.solver.time_step(state, dt, want_u=needed)
-            if sync_every == 1:
+            if B == 1:
+                state, stats = self.solver.time_step(state, dt,
+                                                     want_u=needed)
+                block_stats = [stats]
+            else:
+                state, stacked = self.solver.multi_step(state, dt,
+                                                        n_steps=B,
+                                                        want_u=needed)
+                block_stats = [jax.tree_util.tree_map(lambda a, i=i: a[i],
+                                                      stacked)
+                               for i in range(B)]
+            if sync_every == 1 and B == 1:
                 # default: block per step so wall times are per-step exact
                 state.p.block_until_ready()
-            wall = time.perf_counter() - t0
-            pending.append((step, t, stats, state if needed else None, wall))
-            if step % sync_every == 0:
+            wall = (time.perf_counter() - t0) / B
+            for i, stats in enumerate(block_stats):
+                t += dt
+                step += 1
+                last = i == B - 1
+                pending.append((step, t, stats,
+                                state if (needed and last) else None, wall))
+            if step % sync_every == 0 or (B > 1 and needed):
                 flush(state)
         flush(state)
         if data.checkpoint_format == "orbax":

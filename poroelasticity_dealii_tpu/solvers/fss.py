@@ -666,6 +666,97 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
         return state._replace(
             u=self.disc.row_ops.from_rows(state.u_rows))
 
+    # ---------------- fused multi-step (one dispatch for K steps) -----------
+
+    def multi_step(self, state: State, dt, n_steps: int = None,
+                   bc_scales=None, bc_scale_prev=None, want_u=False):
+        """K time steps fused into ONE device dispatch: ``lax.scan`` over
+        the jitted step body.  The host loop's per-step dispatch (Python
+        wrapper + runtime enqueue, ~1-3 ms/step through the remote-TPU
+        tunnel) is paid once per BLOCK instead of once per step — the
+        settled quasi-static step is ~1-2 ms of device work, so this is
+        the difference between dispatch-bound and device-bound throughput.
+        The reference has no analogue (its loop is a serial C++ while,
+        ``PoroelasticityFSS.h:327-413``); this is the TPU-idiomatic form
+        of "the time loop is compiler-visible".
+
+        ``bc_scales``: optional (K,) per-step Dirichlet scales (default
+        all 1.0); ``bc_scale_prev`` enables the same linear-superposition
+        mechanics warm start as :meth:`time_step`, applied in-graph per
+        scanned step.  ``dt`` must be a static Python number (one compile
+        per (dt, K) pair).  Returns ``(state, stats)`` with every
+        :class:`StepStats` field stacked along a leading (K,) axis.
+        Semantically identical to K :meth:`time_step` calls (tested);
+        the trade-off is observability granularity: divergence/stall
+        checks read the stacked stats after the block."""
+        if not isinstance(dt, (int, float)):
+            raise TypeError("multi_step requires a static (Python number) "
+                            "dt — per-step traced dts defeat the per-dt "
+                            "solver caches")
+        if bc_scales is None:
+            if n_steps is None:
+                raise ValueError("pass n_steps or bc_scales")
+            bc_scales = np.ones((n_steps,), float)
+        bc_scales = np.asarray(bc_scales, float)
+        prev = float(bc_scales[0]) if bc_scale_prev is None \
+            else float(bc_scale_prev)
+        ds = np.diff(np.concatenate([[prev], bc_scales]))
+        self._mixed_precision_inner()   # host-side builds before tracing
+        self._fused_jacobian_stencil(dt)
+        if self._ir_pressure(dt) is None:
+            self._pressure_precond(dt)
+        d = self.disc
+        ro = getattr(d, "row_ops", None)
+        rows_active = _rows_ready(ro)
+        # normalize the carry pytree ONCE so the scan carry structure is
+        # stable: u_rows authoritative on the rows path (u dropped), mech_b
+        # always an array (zeros == "first step must solve")
+        if rows_active:
+            if state.u_rows is None:
+                state = state._replace(u_rows=ro.to_rows(state.u))
+            if state.u is not None:
+                state = state._replace(u=None)
+            b_like = ro.free_mask_rows
+        else:
+            b_like = d.free_mask_u
+        if state.mech_b is None:
+            state = state._replace(mech_b=jnp.zeros_like(b_like))
+        use_resp = bool(np.any(ds != 0.0))
+        if use_resp:    # cache the response field host-side before tracing
+            if rows_active and "_bc_response_rows" not in self.__dict__:
+                object.__setattr__(self, "_bc_response_rows",
+                                   jax.block_until_ready(
+                                       ro.to_rows(self._bc_response())))
+            elif not rows_active:
+                self._bc_response()
+        xs = (jnp.asarray(bc_scales, d.dtype), jnp.asarray(ds, d.dtype))
+        state, stats = self._multi_step_impl(state, dt, xs, use_resp)
+        if want_u and rows_active:
+            state = self.materialize_u(state)
+        return state, stats
+
+    @partial(jax.jit, static_argnums=(0, 2, 4))
+    def _multi_step_impl(self, state: State, dt, xs, use_resp):
+        ro = getattr(self.disc, "row_ops", None)
+        rows_active = _rows_ready(ro)
+        resp = None
+        if use_resp:
+            resp = (self.__dict__["_bc_response_rows"] if rows_active
+                    else self.__dict__["_bc_response_cache"])
+
+        def body(st, x):
+            bc, dsi = x
+            if resp is not None:
+                if rows_active:
+                    st = st._replace(u_rows=st.u_rows + dsi * resp)
+                else:
+                    st = st._replace(u=st.u + dsi * resp)
+            # want_u=False on the rows path (u stays in rows across the
+            # whole block; the carry structure has u=None)
+            return self._time_step_impl(st, dt, bc, not rows_active)
+
+        return jax.lax.scan(body, state, xs)
+
     def _bc_response(self):
         """du/d(bc_scale): the constrained elasticity solve against the
         unit-bc-pattern RHS, computed once (eager, cached).  Constrained
