@@ -72,6 +72,14 @@ class AMRSimulationRunner:
         fixed fractions, not absolute thresholds)."""
         if data.dim not in (2, 3):
             raise NotImplementedError("AMR needs dim 2 or 3")
+        if getattr(data, "steps_per_dispatch", 1) > 1:
+            import warnings
+            warnings.warn(
+                "'TPU / Steps per dispatch' is ignored with AMR: the "
+                "adaptive loop reads host state every step (Kelly "
+                "estimate cadence, per-step mesh logging), and remesh/"
+                "recompile dominates the wall clock at AMR sizes anyway",
+                RuntimeWarning)
         self.data = data
         self.scales = scales
         from ..models.runner import enable_compile_cache

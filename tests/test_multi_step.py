@@ -162,6 +162,19 @@ def test_deck_knob_steps_per_dispatch(tmp_path):
     assert data.steps_per_dispatch == 8
 
 
+def test_amr_runner_warns_steps_per_dispatch(tmp_path):
+    """The AMR driver reads host state every step, so the knob is ignored
+    there — loudly, not silently."""
+    from poroelasticity_dealii_tpu.amr.driver import AMRSimulationRunner
+    data = read_input_file(GOLDEN)
+    data = dataclasses.replace(
+        data, amr=True, initial_refinement_level=3, max_refinement_level=1,
+        steps_per_dispatch=4, output_vtk=False,
+        output_directory=str(tmp_path))
+    with pytest.warns(RuntimeWarning, match="Steps per dispatch"):
+        AMRSimulationRunner(data)
+
+
 def test_multi_step_rejects_traced_dt(golden):
     data, disc, solver = golden
     import jax.numpy as jnp
