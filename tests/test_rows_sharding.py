@@ -178,6 +178,31 @@ def test_pressure_gmg_under_sharded_mesh(dmesh):
                                rtol=1e-12)
 
 
+def test_production_multi_step_sharded_matches_sequential(dmesh):
+    """Fused multi-step dispatch ('TPU / Steps per dispatch') composes with
+    the sharded production path: a K=3 ``multi_step`` scan over the z-slab
+    row layout on 8 devices equals 3 sequential unsharded ``time_step``
+    calls — the max-throughput mode and the multi-chip mode are one mode."""
+    data, disc, sdisc = _production_pair(6, dmesh)
+    s1 = FixedStressSolver(disc, data)
+    s8 = FixedStressSolver(sdisc, data)
+    dt = data.time_step
+    st = s1.initial_state()
+    for _ in range(3):
+        st, _ = s1.time_step(st, dt)
+    st = s1.materialize_u(st)
+    stb, stacked = s8.multi_step(s8.initial_state(), dt, n_steps=3,
+                                 want_u=True)
+    # every scanned step does real inner work (non-degenerate)
+    assert (np.asarray(stacked.pressure_iterations) > 0).all()
+    assert (np.asarray(stacked.mech_cg_iterations) > 0).all()
+    np.testing.assert_allclose(np.asarray(stb.p), np.asarray(st.p),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(stb.u), np.asarray(st.u),
+                               rtol=1e-8,
+                               atol=1e-10 * float(jnp.abs(st.u).max()))
+
+
 def test_sharded_block_precond_step_matches_unsharded_jacobi(dmesh):
     """'Mechanics preconditioner = block' on the SHARDED production path:
     the identity-padded coefficient planes (nz_pad = n_dev * Lz) must ride
