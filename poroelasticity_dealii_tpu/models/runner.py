@@ -29,6 +29,35 @@ from ..utils.logging_utils import RunLogger
 from ..utils.vtk_io import displacement_at_pressure_nodes, write_vtk
 
 
+def _host_cache_tag() -> str:
+    """Digest of this host's CPU features, used to segregate the persistent
+    compile cache per machine.  XLA:CPU cache entries are AOT results that
+    embed the *compile* machine's CPU feature set; loading them on a host
+    with different features is explicitly unsupported (the loader warns
+    "could lead to execution errors such as SIGILL") and was observed to
+    corrupt execution after a VM migration: an 8-virtual-device
+    collective-permute rendezvous split 4/4 across two op-ids and
+    CHECK-failed (deterministic abort in
+    test_production_multi_step_sharded_matches_sequential until the stale
+    cache was bypassed).  TPU executables are serialized for the device,
+    not the host, so the tag merely costs them one cold re-fill per
+    machine.  Reads only /proc/cpuinfo — never initializes jax backends
+    (dryrun_multichip relies on import-time purity here)."""
+    import hashlib
+    import platform
+
+    txt = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    txt += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(txt.encode()).hexdigest()[:12]
+
+
 def enable_compile_cache():
     """Turn on JAX's persistent compilation cache (no-op if the caller
     already configured one).  Pays off twice: across PROCESS runs of the
@@ -36,13 +65,33 @@ def enable_compile_cache():
     compile), and within adaptive runs, where shape bucketing
     (amr/bucketing.py) makes remeshes land on previously compiled
     shapes — a bucket revisit then costs a ~0.7 s re-trace instead of a
-    2-6 s CPU / ~26-39 s TPU XLA compile (measured, golden AMR deck)."""
+    2-6 s CPU / ~26-39 s TPU XLA compile (measured, golden AMR deck).
+    The directory is keyed by :func:`_host_cache_tag` so entries never
+    cross machines (see that docstring for the failure this prevents).
+
+    Refuses outright in a forced virtual-multi-device CPU process
+    (``--xla_force_host_platform_device_count=N>1``): warm-loading
+    sharded executables there can poison the in-process collective
+    rendezvous for later scan-fused sharded programs (observed: a
+    freshly compiled ``multi_step`` deadlocked 4/4 across two
+    collective-permute op-ids after earlier sharded programs in the
+    same process were cache-loaded; see
+    ``fss._no_persistent_cache_for_cpu_collectives``).  That mode only
+    exists for sharding tests/dryruns, where compile time is not the
+    product concern."""
+    import re
+
     import jax
+    m = re.search(r"xla_force_host_platform_device_count=(\d+)",
+                  os.environ.get("XLA_FLAGS", ""))
+    if m and int(m.group(1)) > 1:
+        return
     try:
         if jax.config.jax_compilation_cache_dir:
             return
         path = os.path.join(os.path.expanduser("~"), ".cache",
-                            "poroelasticity_dealii_tpu", "xla")
+                            "poroelasticity_dealii_tpu",
+                            "xla-" + _host_cache_tag())
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:        # cache is an optimization, never a failure

@@ -17,11 +17,38 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# persistent compile cache: repeated suite runs skip XLA compiles (same
-# cache the production runners use)
-from poroelasticity_dealii_tpu.models.runner import enable_compile_cache  # noqa: E402
+# Persistent compile cache: repeated suite runs skip XLA compiles.  Set
+# directly (not via enable_compile_cache, which refuses in this forced
+# 8-virtual-device process — see its docstring) because warm caching is
+# only unsafe for modules that run SHARDED programs: warm-loading sharded
+# XLA:CPU executables can poison the in-process collective rendezvous for
+# later scan-fused sharded programs (multi_step deadlocked 4/4 across two
+# collective-permute op-ids, deterministically, whenever earlier sharded
+# programs were cache-loaded; fresh compiles always pass).  The fixture
+# below turns the cache off for exactly those modules.
+from poroelasticity_dealii_tpu.models.runner import _host_cache_tag  # noqa: E402
 
-enable_compile_cache()
+_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache",
+                          "poroelasticity_dealii_tpu",
+                          "xla-" + _host_cache_tag())
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# modules whose tests build device meshes / run collective programs
+_SHARDED_MODULES = ("test_rows_sharding", "test_sharding",
+                    "test_ghost_sharding")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache_for_sharded_modules(request):
+    if request.module.__name__.split(".")[-1] not in _SHARDED_MODULES:
+        yield
+        return
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 
 
 @pytest.fixture(autouse=True, scope="module")
