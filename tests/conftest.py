@@ -7,9 +7,19 @@ hermetic and sharding tests get a virtual 8-device mesh.
 
 import os
 
-# must be set before jax initializes any backend
+# must be set before jax initializes any backend.  The collective-timeout
+# flags matter on slow/few-core CI hosts: the XLA:CPU in-process
+# rendezvous ABORTS the process if the 8 virtual devices don't all reach
+# a collective within 40 s, and on a 1-core VM a concurrent XLA compile
+# (e.g. materialize_u compiling while the multi_step scan executes
+# asynchronously) starves device threads past that — observed as a
+# deterministic suite abort in the heaviest sharded test.  These are
+# correctness tests, not perf tests: wait long instead of dying.
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
+                           + " --xla_force_host_platform_device_count=8"
+                           + " --xla_cpu_collective_timeout_seconds=1200"
+                           + " --xla_cpu_collective_call_warn_stuck_"
+                             "timeout_seconds=300")
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
@@ -34,9 +44,15 @@ _CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache",
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# modules whose tests build device meshes / run collective programs
+# modules whose tests run collective (sharded) programs — directly via
+# device meshes, or through deck-driven runners (psum/production decks in
+# test_cli/test_amr/test_bucketing).  The poisoning needs warm-loaded
+# sharded executables somewhere in the process, so every module that
+# executes collectives stays cache-free; single-device modules keep the
+# warm-suite speedup.
 _SHARDED_MODULES = ("test_rows_sharding", "test_sharding",
-                    "test_ghost_sharding")
+                    "test_ghost_sharding", "test_cli", "test_amr",
+                    "test_bucketing")
 
 
 @pytest.fixture(autouse=True, scope="module")
