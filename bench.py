@@ -22,12 +22,14 @@ import json
 import os
 import sys
 import time
+from typing import NamedTuple
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(HERE, "BENCH_BASELINE.json")
 
 CELLS_PER_AXIS = 40          # -> 1,660,022 total DOFs (Q2 disp + Q1 press)
 N_MEASURED_STEPS = 5
+CHAIN_REPS = 3               # chained/scanned passes: min-of-N (load noise)
 
 # v5e chip peaks for the utilization lines (ops-level achieved vs peak)
 PEAK_HBM_GBPS = 819.0
@@ -77,6 +79,14 @@ def build(platform=None, cells=CELLS_PER_AXIS, elasticity_backend=None):
     print(f"# setup: {setup_s:.1f}s, cells={disc.n_cells}, dofs={n_dofs}",
           file=sys.stderr)
     return data, disc, solver, n_dofs
+
+
+class MeasureResult(NamedTuple):
+    chained: float            # min-of-CHAIN_REPS chained s/step
+    synced: float             # mean synced s/step (diagnostics pass)
+    scanned: float | None     # min-of-CHAIN_REPS fused-scan s/step
+    chained_reps: list        # every chained rep (s/step), for the JSON
+    scanned_reps: list
 
 
 def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag="",
@@ -138,23 +148,35 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag="",
     # full host<->tunnel round trip (~28 ms, measured by _rtt_ms), which
     # is subtracted so the number is per-step device time; the chain is
     # long enough (2x the diagnostics count) that residual bias is < 2 ms.
+    # The chain is repeated CHAIN_REPS times and the MIN taken: single
+    # chained measurements drifted 3-5.5 ms across bench reruns with chip
+    # + tunnel load (round-3 observation), and min-of-N is the standard
+    # load-noise rejection; the per-rep spread is returned for the JSON.
     n_chain = 2 * n_steps
     rtt = _rtt_ms() * 1e-3
-    s0 = 3 + n_steps
-    t0 = time.perf_counter()
-    for i in range(n_chain):
-        bc_scale = 1.0 + bc_rate * (s0 + i)
-        state, stats = solver.time_step(state, data.time_step, bc_scale,
-                                        bc_scale_prev=1.0
-                                        + bc_rate * (s0 + i - 1),
-                                        want_u=False)
-    state.p.block_until_ready()
-    chained = max(time.perf_counter() - t0 - rtt, 1e-9) / n_chain
+    step = 3 + n_steps
+    chained_reps = []
+    for _ in range(CHAIN_REPS):
+        t0 = time.perf_counter()
+        for i in range(n_chain):
+            bc_scale = 1.0 + bc_rate * (step + i)
+            state, stats = solver.time_step(state, data.time_step, bc_scale,
+                                            bc_scale_prev=1.0
+                                            + bc_rate * (step + i - 1),
+                                            want_u=False)
+        state.p.block_until_ready()
+        chained_reps.append(
+            max(time.perf_counter() - t0 - rtt, 1e-9) / n_chain)
+        step += n_chain
+    chained = min(chained_reps)
     assert np.isfinite(float(stats.pressure_error))
-    print(f"# {tag}chained x{n_chain}: {chained*1e3:.1f} ms/step "
-          f"(synced avg {sum(times)/len(times)*1e3:.1f}, "
+    print(f"# {tag}chained x{n_chain}: "
+          f"{'/'.join(f'{c*1e3:.1f}' for c in chained_reps)} ms/step "
+          f"(min of {CHAIN_REPS}; synced avg "
+          f"{sum(times)/len(times)*1e3:.1f}, "
           f"rtt {rtt*1e3:.1f} ms excluded)", file=sys.stderr)
     scanned = None
+    scanned_reps = []
     if scan:
         # fused pass: the runner's 'TPU / Steps per dispatch' mode — one
         # lax.scan dispatch per n_chain steps (multi_step), removing even
@@ -166,20 +188,26 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag="",
                 bc_scale_prev=1.0 + bc_rate * (first_step - 1),
                 want_u=False)
 
-        s1 = s0 + n_chain
         t0 = time.perf_counter()
-        state, _ = block(state, s1)                 # includes scan compile
+        state, _ = block(state, step)               # includes scan compile
         state.p.block_until_ready()
+        step += n_chain
         print(f"# {tag}scan warm block (incl. compile): "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
-        t0 = time.perf_counter()
-        state, stats = block(state, s1 + n_chain)
-        state.p.block_until_ready()
-        scanned = max(time.perf_counter() - t0 - rtt, 1e-9) / n_chain
+        for _ in range(CHAIN_REPS):
+            t0 = time.perf_counter()
+            state, stats = block(state, step)
+            state.p.block_until_ready()
+            scanned_reps.append(
+                max(time.perf_counter() - t0 - rtt, 1e-9) / n_chain)
+            step += n_chain
+        scanned = min(scanned_reps)
         assert np.isfinite(float(stats.pressure_error[-1]))
         print(f"# {tag}scanned x{n_chain} (one dispatch): "
-              f"{scanned*1e3:.1f} ms/step", file=sys.stderr)
-    return chained, sum(times) / len(times), scanned
+              f"{'/'.join(f'{s*1e3:.1f}' for s in scanned_reps)} ms/step "
+              f"(min of {CHAIN_REPS})", file=sys.stderr)
+    return MeasureResult(chained, sum(times) / len(times), scanned,
+                         chained_reps, scanned_reps)
 
 
 def _op_models(data, disc):
@@ -403,10 +431,11 @@ def build_x64(cells=CELLS_PER_AXIS, elasticity_backend=None):
 def measure_x64(n_steps=1, cells=CELLS_PER_AXIS, elasticity_backend=None):
     """ms/step (chained, synced) for the f64 reference-tolerance run."""
     data, disc, solver = build_x64(cells, elasticity_backend)
-    ms, ms_sync, _ = measure(data, solver, n_steps=n_steps, tag="x64 ")
+    res = measure(data, solver, n_steps=n_steps, tag="x64 ")
     return {
-        "ms_per_step_chained": round(ms * 1e3, 2),
-        "ms_per_step_synced": round(ms_sync * 1e3, 2),
+        "ms_per_step_chained": round(res.chained * 1e3, 2),
+        "ms_per_step_synced": round(res.synced * 1e3, 2),
+        "chained_reps_ms": [round(c * 1e3, 2) for c in res.chained_reps],
         "n_steps": n_steps,
         "dtype": "float64",
         "method": ("mixed-precision iterative refinement (f64 Richardson "
@@ -468,9 +497,9 @@ def main():
     if "--cpu-baseline" in sys.argv:
         data, disc, solver, n_dofs = build(platform="cpu",
                                            elasticity_backend=backend)
-        ms = measure(data, solver, n_steps=2)[0] * 1e3
+        ms = measure(data, solver, n_steps=2).chained * 1e3
         ms_ev = measure(data, solver, n_steps=2, bc_rate=BC_RATE,
-                        tag="evolving ")[0] * 1e3
+                        tag="evolving ").chained * 1e3
         rec = {"cpu_ms_per_step": ms, "cpu_ms_per_step_evolving": ms_ev,
                "n_dofs": n_dofs,
                "cells_per_axis": CELLS_PER_AXIS,
@@ -484,15 +513,15 @@ def main():
     data, disc, solver, n_dofs = build(elasticity_backend=backend)
     # variant 1: the original quasi-static deck (steady loading; mechanics
     # mostly satisfied by warm starts — the pressure-path regime)
-    ms, ms_sync, ms_scan = measure(data, solver, scan=True)
-    ms, ms_sync = ms * 1e3, ms_sync * 1e3
-    ms_scan = ms_scan * 1e3 if ms_scan else None
+    res = measure(data, solver, scan=True)
+    ms, ms_sync = res.chained * 1e3, res.synced * 1e3
+    ms_scan = res.scanned * 1e3 if res.scanned else None
     # variant 2: evolving mechanics (ramped plate load; mech CG > 0 every
     # step, asserted) — the regime the round-1 bench missed
-    ms_ev, ms_ev_sync, ms_ev_scan = measure(data, solver, bc_rate=BC_RATE,
-                                            tag="evolving ", scan=True)
-    ms_ev, ms_ev_sync = ms_ev * 1e3, ms_ev_sync * 1e3
-    ms_ev_scan = ms_ev_scan * 1e3 if ms_ev_scan else None
+    res_ev = measure(data, solver, bc_rate=BC_RATE,
+                     tag="evolving ", scan=True)
+    ms_ev, ms_ev_sync = res_ev.chained * 1e3, res_ev.synced * 1e3
+    ms_ev_scan = res_ev.scanned * 1e3 if res_ev.scanned else None
     util = breakdown(data, disc, solver, quiet=False)
     # f64 reference-tolerance variant (recorded alongside, not the
     # headline).  Runs in a BOUNDED subprocess so a TPU fault or an
@@ -528,10 +557,20 @@ def main():
         # round-1 -> round-2 value silently changed semantics).  The synced
         # per-step number is recorded alongside, and the CPU baseline is
         # measured with the same chained semantics (measure() returns the
-        # chained mean first in both paths).
+        # chained result first in both paths).  Since late round 3 the
+        # chained/scanned numbers are the MIN of CHAIN_REPS back-to-back
+        # chains (single chains drifted 3-5.5 ms across reruns under chip
+        # + tunnel load); every rep is recorded in *_reps_ms.
         "metric": "chained_wall_clock_per_fss_timestep_1.66M_dof_3d",
         "value": round(ms, 2),
         "unit": "ms",
+        "chain_methodology": f"min of {CHAIN_REPS} chains; reps recorded",
+        "chained_reps_ms": [round(c * 1e3, 2) for c in res.chained_reps],
+        "evolving_chained_reps_ms": [round(c * 1e3, 2)
+                                     for c in res_ev.chained_reps],
+        "scan_reps_ms": [round(s * 1e3, 2) for s in res.scanned_reps],
+        "evolving_scan_reps_ms": [round(s * 1e3, 2)
+                                  for s in res_ev.scanned_reps],
         # the steady chain follows the production quasi-static trajectory,
         # which settles: late steps legitimately skip the mechanics
         # re-solve (RHS bitwise unchanged) and pressure converges
