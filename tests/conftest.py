@@ -67,8 +67,16 @@ def _no_persistent_cache_for_sharded_modules(request):
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 
 
+def _map_count():
+    try:
+        with open("/proc/self/maps", "rb") as fh:
+            return sum(1 for _ in fh)
+    except OSError:
+        return -1
+
+
 @pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_per_module():
+def _clear_jax_caches_per_module(request):
     """Release compiled executables between test modules.
 
     The suite compiles hundreds of distinct XLA programs; each loaded
@@ -78,6 +86,16 @@ def _clear_jax_caches_per_module():
     reproducible only with the preceding suite state and with modest RSS.
     Dropping jit caches per module lets executables be GC'd and unmapped;
     within-module reuse (the expensive repeated solver compiles) is kept.
+    gc.collect() matters: executables sit in reference cycles (jitted
+    closures <-> caches), so without an explicit collection the unmap can
+    lag several modules behind the clear.  The per-module map count is
+    appended to $POROEL_MAPLOG when set (suite-abort forensics).
     """
     yield
     jax.clear_caches()
+    import gc
+    gc.collect()
+    log = os.environ.get("POROEL_MAPLOG")
+    if log:
+        with open(log, "a") as fh:
+            fh.write(f"{_map_count()} {request.module.__name__}\n")
