@@ -90,7 +90,7 @@ class MeasureResult(NamedTuple):
 
 
 def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag="",
-            scan=False):
+            scan=False, chain_reps=CHAIN_REPS):
     """Average ms/step.  ``bc_rate`` > 0 ramps the Dirichlet loading by
     that fraction per step (``bc_scale = 1 + bc_rate * step``) — the
     evolving-mechanics regime where the displacement system must re-solve
@@ -156,7 +156,7 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag="",
     rtt = _rtt_ms() * 1e-3
     step = 3 + n_steps
     chained_reps = []
-    for _ in range(CHAIN_REPS):
+    for _ in range(chain_reps):
         t0 = time.perf_counter()
         for i in range(n_chain):
             bc_scale = 1.0 + bc_rate * (step + i)
@@ -172,7 +172,7 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag="",
     assert np.isfinite(float(stats.pressure_error))
     print(f"# {tag}chained x{n_chain}: "
           f"{'/'.join(f'{c*1e3:.1f}' for c in chained_reps)} ms/step "
-          f"(min of {CHAIN_REPS}; synced avg "
+          f"(min of {chain_reps}; synced avg "
           f"{sum(times)/len(times)*1e3:.1f}, "
           f"rtt {rtt*1e3:.1f} ms excluded)", file=sys.stderr)
     scanned = None
@@ -194,7 +194,7 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag="",
         step += n_chain
         print(f"# {tag}scan warm block (incl. compile): "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
-        for _ in range(CHAIN_REPS):
+        for _ in range(chain_reps):
             t0 = time.perf_counter()
             state, stats = block(state, step)
             state.p.block_until_ready()
@@ -205,7 +205,7 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag="",
         assert np.isfinite(float(stats.pressure_error[-1]))
         print(f"# {tag}scanned x{n_chain} (one dispatch): "
               f"{'/'.join(f'{s*1e3:.1f}' for s in scanned_reps)} ms/step "
-              f"(min of {CHAIN_REPS})", file=sys.stderr)
+              f"(min of {chain_reps})", file=sys.stderr)
     return MeasureResult(chained, sum(times) / len(times), scanned,
                          chained_reps, scanned_reps)
 
@@ -386,7 +386,7 @@ def breakdown(data, disc, solver, quiet=False):
     return util
 
 
-def build_x64(cells=CELLS_PER_AXIS, elasticity_backend=None):
+def build_x64(cells=CELLS_PER_AXIS, elasticity_backend=None, platform=None):
     """The reference-tolerance f64 variant (round-2 verdict item 4a): the
     same 40^3 problem at the tolerances that DEFINE correctness in the
     reference (InputDataPoroel.h:138-141 / SolverControl defaults):
@@ -403,6 +403,8 @@ def build_x64(cells=CELLS_PER_AXIS, elasticity_backend=None):
     from poroelasticity_dealii_tpu.solvers import FixedStressSolver
     from poroelasticity_dealii_tpu.solvers.structured import \
         build_grid_discretization
+    if platform:
+        jax.config.update("jax_platforms", platform)
     jax.config.update("jax_enable_x64", True)
     data = read_input_file(os.path.join(HERE, "configs/consolidation_3d.data"))
     data = dataclasses.replace(
@@ -451,6 +453,40 @@ def measure_x64(n_steps=1, cells=CELLS_PER_AXIS, elasticity_backend=None):
 
 BC_RATE = 0.05   # per-step Dirichlet load ramp for the evolving variant
 
+DETAIL_FILE = os.path.join(HERE, "bench_detail.json")
+HEADLINE_MAX_BYTES = 1000    # the driver tail-captures the LAST line only;
+                             # round 3's single giant line overflowed it and
+                             # the judged artifact recorded parsed: null
+
+
+def emit(headline: dict, detail: dict | None = None) -> str:
+    """Print the ONE machine-readable stdout line; side data to a file.
+
+    The round-end driver records only a bounded tail of stdout, so the
+    headline line must stay compact (round-3 regression: utilization +
+    x64 + rep arrays inline pushed the line past the capture window and
+    `BENCH_r03.json` came back `parsed: null`).  Everything bulky goes to
+    ``bench_detail.json`` (committed to the repo, referenced from the
+    headline).  If the headline somehow exceeds the budget, optional keys
+    are dropped (into the detail file) rather than breaking the contract.
+    """
+    detail = dict(detail or {})
+    required = ("metric", "value", "unit", "vs_baseline")
+    line = json.dumps(headline)
+    while len(line) > HEADLINE_MAX_BYTES:
+        droppable = [k for k in headline if k not in required]
+        if not droppable:
+            break
+        k = max(droppable, key=lambda k: len(json.dumps(headline[k])))
+        detail[k] = headline.pop(k)
+        line = json.dumps(headline)
+    if detail:
+        detail["headline"] = dict(headline)
+        with open(DETAIL_FILE, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    print(line)
+    return line
+
 
 def _device_init_watchdog(timeout_s: float = 600.0):
     """Fail FAST (clear message, rc=1) if accelerator init hangs.
@@ -481,8 +517,15 @@ def _device_init_watchdog(timeout_s: float = 600.0):
     print(f"# devices: {detail}", file=sys.stderr)
 
 
+def _load_baseline() -> dict:
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as fh:
+            return json.load(fh)
+    return {}
+
+
 def main():
-    if "--cpu-baseline" not in sys.argv:
+    if not any(a.startswith("--cpu-baseline") for a in sys.argv):
         _device_init_watchdog()
     backend = None
     if "--backend" in sys.argv:
@@ -500,14 +543,38 @@ def main():
         ms = measure(data, solver, n_steps=2).chained * 1e3
         ms_ev = measure(data, solver, n_steps=2, bc_rate=BC_RATE,
                         tag="evolving ").chained * 1e3
-        rec = {"cpu_ms_per_step": ms, "cpu_ms_per_step_evolving": ms_ev,
-               "n_dofs": n_dofs,
-               "cells_per_axis": CELLS_PER_AXIS,
-               "note": "XLA:CPU, same problem/solver/tolerances as the TPU "
-                       "bench; stand-in for the reference's serial CPU path"}
+        rec = _load_baseline()
+        rec.update(
+            {"cpu_ms_per_step": ms, "cpu_ms_per_step_evolving": ms_ev,
+             "n_dofs": n_dofs,
+             "cells_per_axis": CELLS_PER_AXIS,
+             "note": "XLA:CPU, same problem/solver/tolerances as the TPU "
+                     "bench; stand-in for the reference's serial CPU path"})
         with open(BASELINE_FILE, "w") as fh:
             json.dump(rec, fh, indent=1)
         print(json.dumps(rec))
+        return
+    if "--cpu-baseline-x64" in sys.argv:
+        # the f64 reference-tolerance CPU counterpart of measure_x64():
+        # same 40^3 problem, same 1e-8/1e-12 tolerances, native f64 on
+        # XLA:CPU with the GMG-preconditioned solves (strictly generous vs
+        # the reference's serial Debug CG+SSOR).  One chain rep: CPU has
+        # no tunnel RTT to amortize and each step costs minutes.
+        data, disc, solver = build_x64(platform="cpu",
+                                       elasticity_backend=backend)
+        res = measure(data, solver, n_steps=1, tag="cpu-x64 ", chain_reps=1)
+        rec = _load_baseline()
+        rec["cpu_x64_ms_per_step"] = round(res.chained * 1e3, 2)
+        rec["cpu_x64_ms_per_step_synced"] = round(res.synced * 1e3, 2)
+        rec["cpu_x64_note"] = (
+            "XLA:CPU native f64 at reference tolerances (fss/pressure 1e-8 "
+            "abs, CG 1e-8 rel / mech 1e-12 rel), same 40^3 problem as "
+            "x64_reference_tol; compare against its ms_per_step_chained")
+        with open(BASELINE_FILE, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(json.dumps({k: rec[k] for k in
+                          ("cpu_x64_ms_per_step",
+                           "cpu_x64_ms_per_step_synced")}))
         return
 
     data, disc, solver, n_dofs = build(elasticity_backend=backend)
@@ -543,7 +610,8 @@ def main():
                    "last_measured": "35.5 s/step chained (2026-08-17, "
                    "f64 conv+GMG at 40^3, see BASELINE.md round-3 table)"}
 
-    vs_baseline = vs_baseline_ev = None
+    vs_baseline = vs_baseline_ev = vs_baseline_x64 = None
+    base = {}
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as fh:
             base = json.load(fh)
@@ -551,19 +619,38 @@ def main():
             vs_baseline = base["cpu_ms_per_step"] / ms
             if base.get("cpu_ms_per_step_evolving"):
                 vs_baseline_ev = base["cpu_ms_per_step_evolving"] / ms_ev
-    print(json.dumps({
-        # 'value' is the CHAINED (async-dispatched) ms/step — the metric
-        # name says so explicitly since round 3 (advisor round 2: the
-        # round-1 -> round-2 value silently changed semantics).  The synced
-        # per-step number is recorded alongside, and the CPU baseline is
-        # measured with the same chained semantics (measure() returns the
-        # chained result first in both paths).  Since late round 3 the
-        # chained/scanned numbers are the MIN of CHAIN_REPS back-to-back
-        # chains (single chains drifted 3-5.5 ms across reruns under chip
-        # + tunnel load); every rep is recorded in *_reps_ms.
+    x64_ms = (x64 or {}).get("ms_per_step_chained")
+    if x64_ms and base.get("cpu_x64_ms_per_step"):
+        # apples-to-apples at the tolerances that DEFINE correctness
+        # (InputDataPoroel.h:138-141): f64 reference-tolerance TPU run vs
+        # the f64 reference-tolerance CPU run (--cpu-baseline-x64)
+        vs_baseline_x64 = base["cpu_x64_ms_per_step"] / x64_ms
+    # 'value' is the CHAINED (async-dispatched) ms/step — the metric name
+    # says so explicitly since round 3.  The steady chain follows the
+    # production quasi-static trajectory, which settles: late steps
+    # legitimately skip the mechanics re-solve, so 'evolving_ms' (ramped
+    # plate load, mech CG > 0 asserted every diagnostic step) is the
+    # co-equal all-work number for cross-round solver-speed comparisons.
+    # Chained/scanned numbers are min-of-CHAIN_REPS; per-rep spreads,
+    # utilization and the full x64 record live in bench_detail.json.
+    headline = {
         "metric": "chained_wall_clock_per_fss_timestep_1.66M_dof_3d",
         "value": round(ms, 2),
         "unit": "ms",
+        "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
+        "evolving_ms": round(ms_ev, 2),
+        "evolving_vs_baseline": (round(vs_baseline_ev, 1)
+                                 if vs_baseline_ev else None),
+        "scan_ms_per_step": round(ms_scan, 2) if ms_scan else None,
+        "evolving_scan_ms_per_step": (round(ms_ev_scan, 2)
+                                      if ms_ev_scan else None),
+        "synced_ms_per_step": round(ms_sync, 2),
+        "x64_reference_tol_ms": x64_ms,
+        "vs_baseline_x64": (round(vs_baseline_x64, 1)
+                            if vs_baseline_x64 else None),
+        "detail": "bench_detail.json",
+    }
+    detail = {
         "chain_methodology": f"min of {CHAIN_REPS} chains; reps recorded",
         "chained_reps_ms": [round(c * 1e3, 2) for c in res.chained_reps],
         "evolving_chained_reps_ms": [round(c * 1e3, 2)
@@ -571,31 +658,12 @@ def main():
         "scan_reps_ms": [round(s * 1e3, 2) for s in res.scanned_reps],
         "evolving_scan_reps_ms": [round(s * 1e3, 2)
                                   for s in res_ev.scanned_reps],
-        # the steady chain follows the production quasi-static trajectory,
-        # which settles: late steps legitimately skip the mechanics
-        # re-solve (RHS bitwise unchanged) and pressure converges
-        # immediately.  'evolving_mechanics_ms' is the all-work regime
-        # (ramped plate load, mech CG > 0 asserted every diagnostic step)
-        # — the cleaner number for cross-round solver-speed comparisons.
         "steady_note": "includes skip-optimized settled tail steps",
-        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-        "evolving_mechanics_ms": round(ms_ev, 2),
-        "evolving_vs_baseline": (round(vs_baseline_ev, 3)
-                                 if vs_baseline_ev else None),
-        "synced_ms_per_step": round(ms_sync, 2),
         "evolving_synced_ms_per_step": round(ms_ev_sync, 2),
-        # 'TPU / Steps per dispatch' mode: 10 steps fused into ONE
-        # lax.scan dispatch (FixedStressSolver.multi_step) — the
-        # max-throughput production configuration (per-step host dispatch
-        # eliminated; the chained number above still pays it per step).
-        # Reported alongside, not as 'value', so vs_baseline stays
-        # chained-vs-chained against the recorded CPU baseline.
-        "scan_ms_per_step": round(ms_scan, 2) if ms_scan else None,
-        "evolving_scan_ms_per_step": (round(ms_ev_scan, 2)
-                                      if ms_ev_scan else None),
         "x64_reference_tol": x64,
         "utilization": util,
-    }))
+    }
+    emit(headline, detail)
 
 
 if __name__ == "__main__":

@@ -258,11 +258,7 @@ def build_hanging_constraints(forest: QuadForest, mesh, p_space: FESpace,
         LO = lo - (lo % span2)
         coarse_edges.add((axis, line, LO, span2))
 
-    mid_u = _edge_midnode_map(u_space) if u_space.degree == 2 else {}
-    dim = mesh.dim
-
-    p_rows = []   # (hanging_node, [(master, w), ...])
-    u_rows = []   # node-level; expanded to dofs below
+    triples = []
     for (axis, line, LO, span2) in sorted(coarse_edges):
         t = 1 - axis
         def pt(s):
@@ -270,9 +266,28 @@ def build_hanging_constraints(forest: QuadForest, mesh, p_space: FESpace,
             c[axis] = line
             c[t] = s
             return (c[0], c[1])
-        v0 = vid[pt(LO)]
-        v1 = vid[pt(LO + span2)]
-        h = vid[pt(LO + span2 // 2)]
+        triples.append((vid[pt(LO)], vid[pt(LO + span2)],
+                        vid[pt(LO + span2 // 2)]))
+    return build_hanging_constraints_from_edges(triples, mesh.dim,
+                                                u_space, dtype)
+
+
+def build_hanging_constraints_from_edges(triples, dim, u_space, dtype):
+    """Hanging-node constraints from ``(v0, v1, h)`` vertex-id triples (one
+    per hanging coarse edge: endpoints + hanging midpoint).
+
+    Forest-topology-agnostic — the multi-root forest
+    (:mod:`.multiroot`) enumerates its hanging edges, including across root
+    boundaries, and delegates here.  The interpolation weights live in the
+    coarse edge's PARAMETER (0.5/0.5 for Q1, the quarter-point quadratic
+    trace for Q2), which is exact on distorted bilinear parents too: the
+    bilinear map is affine along each edge, so the fine nodes sit at exact
+    parametric fractions of the coarse edge."""
+    mid_u = _edge_midnode_map(u_space) if u_space.degree == 2 else {}
+
+    p_rows = []   # (hanging_node, [(master, w), ...])
+    u_rows = []   # node-level; expanded to dofs below
+    for (v0, v1, h) in triples:
         # Q1 pressure: h = (v0 + v1)/2
         p_rows.append((h, [(v0, 0.5), (v1, 0.5)]))
         if u_space.degree == 2:

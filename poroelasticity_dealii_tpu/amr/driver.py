@@ -24,6 +24,8 @@ from .constraints import (build_hanging_constraints,
                           build_hanging_constraints_geometric)
 from .forest import QuadForest
 from .kelly import fixed_fraction_marks, kelly_estimate, kelly_estimate_3d
+from .multiroot import (MultiRootQuadForest, kelly_estimate_multiroot,
+                        transfer_nodal_multiroot)
 from .octforest import OctForest
 from .transfer import transfer_nodal
 
@@ -32,15 +34,23 @@ def build_amr_discretization(forest, data: InputData):
     """Generic-path discretization of the forest's mesh, with hanging-node
     constraints installed and preconditioner diagonals fixed up.
 
-    2D uses the explicit edge tables; 3D uses the geometric Lagrange-trace
-    builder (face + edge constraints, ``constraints.py``)."""
+    2D box forests use the explicit edge tables; 3D the geometric
+    Lagrange-trace builder; multi-root (gmsh-rooted) forests enumerate
+    their hanging edges, including across root boundaries, and delegate to
+    the edge-triple builder (``constraints.py``)."""
     mesh = forest.to_mesh()
     disc = build_discretization(mesh, data)
-    builder = (build_hanging_constraints if mesh.dim == 2
-               else build_hanging_constraints_geometric)
-    hc_p, hc_u = builder(
-        forest, mesh, disc.pressure_space, disc.displacement_space,
-        disc.dtype)
+    if isinstance(forest, MultiRootQuadForest):
+        from .constraints import build_hanging_constraints_from_edges
+        hc_p, hc_u = build_hanging_constraints_from_edges(
+            forest.hanging_edges(), mesh.dim, disc.displacement_space,
+            disc.dtype)
+    else:
+        builder = (build_hanging_constraints if mesh.dim == 2
+                   else build_hanging_constraints_geometric)
+        hc_p, hc_u = builder(
+            forest, mesh, disc.pressure_space, disc.displacement_space,
+            disc.dtype)
     disc.hc_p, disc.hc_u = hc_p, hc_u
     # host-side fixups (an eager jnp .at[].set would compile per mesh shape,
     # i.e. on every remesh)
@@ -84,10 +94,22 @@ class AMRSimulationRunner:
         self.scales = scales
         from ..models.runner import enable_compile_cache
         enable_compile_cache()   # shape buckets + cache = cheap remeshes
-        size = np.asarray(data.domain_size[:data.dim], float)
-        forest_cls = QuadForest if data.dim == 2 else OctForest
-        self.forest = forest_cls.uniform(-size / 2, size / 2,
-                                         data.initial_refinement_level)
+        if getattr(data, "mesh_file", None):
+            # forest-of-roots over the imported coarse mesh — the deal.II
+            # model where ANY Triangulation (including one read from gmsh,
+            # PoroelasticityFSS.h:439-445) can be adaptively refined
+            if data.dim != 2:
+                raise NotImplementedError(
+                    "AMR on imported meshes is 2D (quad) only; 3D "
+                    "gmsh-rooted oct-forests are future work")
+            from ..mesh.gmsh_io import read_msh
+            self.forest = MultiRootQuadForest.from_mesh(
+                read_msh(data.mesh_file), data.initial_refinement_level)
+        else:
+            size = np.asarray(data.domain_size[:data.dim], float)
+            forest_cls = QuadForest if data.dim == 2 else OctForest
+            self.forest = forest_cls.uniform(-size / 2, size / 2,
+                                             data.initial_refinement_level)
         self.logger = logger
         self._rebuild()
 
@@ -137,9 +159,17 @@ class AMRSimulationRunner:
         data = self.data
         state = self._real_state(state)
         mesh_old = self.disc.pressure_space.mesh
-        forest_old = type(self.forest)(self.forest.lower, self.forest.upper,
-                                       set(self.forest.leaves))
-        estimator = kelly_estimate if data.dim == 2 else kelly_estimate_3d
+        multiroot = isinstance(self.forest, MultiRootQuadForest)
+        if multiroot:
+            forest_old = self.forest.copy()
+            estimator = kelly_estimate_multiroot
+            transfer = transfer_nodal_multiroot
+        else:
+            forest_old = type(self.forest)(
+                self.forest.lower, self.forest.upper,
+                set(self.forest.leaves))
+            estimator = kelly_estimate if data.dim == 2 else kelly_estimate_3d
+            transfer = transfer_nodal
         eta = estimator(self.forest, mesh_old, np.asarray(state.p))
         refine, coarsen = fixed_fraction_marks(
             self.forest, eta, 0.6, 0.4,
@@ -158,7 +188,7 @@ class AMRSimulationRunner:
             np.stack([np.asarray(state.p), np.asarray(state.eps_v),
                       np.asarray(state.eps_v0)]),
             np.asarray(state.strains)])
-        moved = transfer_nodal(forest_old, mesh_old, fields, new_pts)
+        moved = transfer(forest_old, mesh_old, fields, new_pts)
         dt = self.disc.dtype
         # displacement warm start (the reference re-solves u from scratch,
         # :474-482; we re-solve too but from the transferred field):
@@ -167,8 +197,8 @@ class AMRSimulationRunner:
         dim = data.dim
         u_old = np.asarray(state.u).reshape(-1, dim)
         u_vert = u_old[:mesh_old.n_vertices].T          # (dim, n_vertices)
-        u_new = transfer_nodal(forest_old, mesh_old, u_vert,
-                               self.disc.displacement_space.node_coords)
+        u_new = transfer(forest_old, mesh_old, u_vert,
+                         self.disc.displacement_space.node_coords)
         return self._padded_state(State(
             p=jnp.asarray(moved[0], dt),
             u=jnp.asarray(u_new.T.reshape(-1), dt),

@@ -26,17 +26,48 @@ from ..solvers.fss import State
 FORMAT_VERSION = 1
 
 
-def save_checkpoint(path: str, state: State, time_: float, step: int,
-                    meta: dict | None = None, forest=None):
-    """``forest`` (optional): an amr.QuadForest whose leaves are persisted so
-    adaptive runs resume on the refined mesh."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    extra = {}
-    if forest is not None:
-        extra["forest_leaves"] = np.asarray(sorted(forest.leaves),
-                                            dtype=np.int64)
+def _forest_payload(forest) -> dict:
+    """Persistable arrays for any forest type (box quad/oct forests carry
+    lower/upper; multi-root forests carry the coarse-mesh arrays)."""
+    extra = {"forest_leaves": np.asarray(sorted(forest.leaves),
+                                         dtype=np.int64)}
+    if hasattr(forest, "root_cells"):       # MultiRootQuadForest
+        extra["forest_mr_cells"] = np.asarray(forest.root_cells, np.int64)
+        extra["forest_mr_coords"] = np.asarray(forest.root_coords, float)
+        bids = sorted(forest.boundary_ids.items())
+        extra["forest_mr_bids"] = np.asarray(
+            [(r, s, i) for (r, s), i in bids], np.int64).reshape(-1, 3)
+    else:
         extra["forest_lower"] = np.asarray(forest.lower)
         extra["forest_upper"] = np.asarray(forest.upper)
+    return extra
+
+
+def _forest_from_payload(z):
+    rows = np.asarray(z["forest_leaves"])
+    leaves = {tuple(int(v) for v in row) for row in rows}
+    if "forest_mr_cells" in z:
+        from ..amr.multiroot import MultiRootQuadForest
+        bids = {(int(r), int(s)): int(i)
+                for r, s, i in np.asarray(z["forest_mr_bids"])}
+        return MultiRootQuadForest(
+            root_cells=np.asarray(z["forest_mr_cells"]),
+            root_coords=np.asarray(z["forest_mr_coords"]),
+            boundary_ids=bids, leaves=leaves)
+    if rows.shape[1] == 4:
+        from ..amr.octforest import OctForest as cls
+    else:
+        from ..amr.forest import QuadForest as cls
+    return cls(lower=np.asarray(z["forest_lower"]),
+               upper=np.asarray(z["forest_upper"]), leaves=leaves)
+
+
+def save_checkpoint(path: str, state: State, time_: float, step: int,
+                    meta: dict | None = None, forest=None):
+    """``forest`` (optional): an amr forest whose structure is persisted so
+    adaptive runs resume on the refined mesh."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    extra = _forest_payload(forest) if forest is not None else {}
     np.savez(
         path,
         version=FORMAT_VERSION,
@@ -64,18 +95,12 @@ def load_checkpoint(path: str, dtype=None) -> Tuple[State, float, int]:
 
 def load_checkpoint_forest(path: str):
     """Restore the persisted forest of an adaptive run (QuadForest for 2D,
-    OctForest for 3D — distinguished by the leaf-tuple width), or None."""
+    OctForest for 3D — distinguished by the leaf-tuple width — or
+    MultiRootQuadForest when coarse-mesh arrays are present), or None."""
     with np.load(path) as z:
         if "forest_leaves" not in z:
             return None
-        rows = z["forest_leaves"]
-        if rows.shape[1] == 4:
-            from ..amr.octforest import OctForest as cls
-        else:
-            from ..amr.forest import QuadForest as cls
-        leaves = {tuple(int(v) for v in row) for row in rows}
-        return cls(lower=z["forest_lower"], upper=z["forest_upper"],
-                   leaves=leaves)
+        return _forest_from_payload(z)
 
 
 # ---------------------------------------------------------------------------
@@ -107,10 +132,7 @@ def save_checkpoint_orbax(path: str, state: State, time_: float, step: int,
         "time": float(time_), "step": int(step),
     }
     if forest is not None:
-        payload["forest_leaves"] = np.asarray(sorted(forest.leaves),
-                                              dtype=np.int64)
-        payload["forest_lower"] = np.asarray(forest.lower)
-        payload["forest_upper"] = np.asarray(forest.upper)
+        payload.update(_forest_payload(forest))
     ckptr = _orbax_checkpointer()
     ckptr.save(os.path.abspath(path), payload, force=True)
 
@@ -147,11 +169,4 @@ def load_checkpoint_forest_any(path: str):
     z = _load_orbax(path)
     if "forest_leaves" not in z:
         return None
-    rows = np.asarray(z["forest_leaves"])
-    if rows.shape[1] == 4:
-        from ..amr.octforest import OctForest as cls
-    else:
-        from ..amr.forest import QuadForest as cls
-    leaves = {tuple(int(v) for v in row) for row in rows}
-    return cls(lower=np.asarray(z["forest_lower"]),
-               upper=np.asarray(z["forest_upper"]), leaves=leaves)
+    return _forest_from_payload(z)

@@ -1,0 +1,75 @@
+"""The bench stdout contract (round-3 regression guard).
+
+The round-end driver tail-captures bench stdout and parses the LAST line as
+the judged JSON record.  Round 3's single giant line (inline utilization +
+x64 + rep arrays) overflowed the capture window and ``BENCH_r03.json``
+recorded ``parsed: null``.  Since round 4 ``bench.emit`` prints ONE compact
+headline line and writes everything bulky to ``bench_detail.json``; these
+tests pin that contract.
+"""
+
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def _representative_headline():
+    # worst-case realistic widths for every field the real main() emits
+    return {
+        "metric": "chained_wall_clock_per_fss_timestep_1.66M_dof_3d",
+        "value": 7777.77,
+        "unit": "ms",
+        "vs_baseline": 111475.9,
+        "evolving_ms": 7777.77,
+        "evolving_vs_baseline": 111475.9,
+        "scan_ms_per_step": 7777.77,
+        "evolving_scan_ms_per_step": 7777.77,
+        "synced_ms_per_step": 7777.77,
+        "x64_reference_tol_ms": 77777.77,
+        "vs_baseline_x64": 111475.9,
+        "detail": "bench_detail.json",
+    }
+
+
+def test_headline_fits_capture_window(tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(bench, "DETAIL_FILE", str(tmp_path / "detail.json"))
+    line = bench.emit(_representative_headline(),
+                      {"utilization": {"op": {"ms": 1.0}}})
+    assert len(line) <= bench.HEADLINE_MAX_BYTES
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, "bench must print exactly ONE stdout line"
+    parsed = json.loads(out[-1])
+    assert parsed["value"] == 7777.77
+    assert parsed["vs_baseline"] == 111475.9
+    # no headline key was dropped for a representative record
+    assert set(parsed) == set(_representative_headline())
+
+
+def test_emit_writes_detail_sidecar(tmp_path, monkeypatch):
+    detail_file = tmp_path / "detail.json"
+    monkeypatch.setattr(bench, "DETAIL_FILE", str(detail_file))
+    big = {"utilization": {f"op{i}": {"ms": i} for i in range(40)},
+           "chained_reps_ms": [1.0, 2.0, 3.0]}
+    bench.emit(_representative_headline(), big)
+    saved = json.loads(detail_file.read_text())
+    assert saved["chained_reps_ms"] == [1.0, 2.0, 3.0]
+    assert "op39" in saved["utilization"]
+    assert saved["headline"]["value"] == 7777.77
+
+
+def test_oversized_headline_degrades_not_breaks(tmp_path, monkeypatch,
+                                                capsys):
+    monkeypatch.setattr(bench, "DETAIL_FILE", str(tmp_path / "detail.json"))
+    headline = _representative_headline()
+    headline["giant"] = "x" * 5000           # would overflow the capture
+    line = bench.emit(headline, {})
+    assert len(line) <= bench.HEADLINE_MAX_BYTES
+    parsed = json.loads(line)
+    assert "giant" not in parsed              # dropped to the sidecar...
+    assert parsed["value"] == 7777.77         # ...required keys survive
+    saved = json.loads((tmp_path / "detail.json").read_text())
+    assert saved["giant"] == "x" * 5000
