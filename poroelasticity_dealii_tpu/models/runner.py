@@ -76,7 +76,7 @@ def enable_compile_cache():
     freshly compiled ``multi_step`` deadlocked 4/4 across two
     collective-permute op-ids after earlier sharded programs in the
     same process were cache-loaded; see
-    ``fss._no_persistent_cache_for_cpu_collectives``).  That mode only
+    ``utils.backend_quirks.no_persistent_cache_for_cpu_collectives``).  That mode only
     exists for sharding tests/dryruns, where compile time is not the
     product concern."""
     import re

@@ -24,7 +24,6 @@ Semantics replicated exactly (SURVEY §2.1 quirks, deliberate):
 
 from __future__ import annotations
 
-import contextlib
 import dataclasses
 from functools import partial
 from typing import NamedTuple
@@ -46,37 +45,11 @@ from .discretization import Discretization
 # float32 runs.
 
 
-@contextlib.contextmanager
-def _no_persistent_cache_for_cpu_collectives():
-    """Bypass the persistent compilation cache while compiling a scan-fused
-    multi-step program on a multi-device CPU backend.
-
-    The XLA:CPU in-process communicator deadlocks when the ``multi_step``
-    executable (lax.scan over a body with shard_map collective-permutes
-    and nested while_loops) is LOADED from the persistent cache rather
-    than freshly compiled: the 8 virtual devices split across two
-    collective-permute op-ids inside one run and the rendezvous
-    CHECK-fails after its 40 s timeout (observed deterministically in
-    test_production_multi_step_sharded_matches_sequential; the same
-    program compiled fresh passes, and every *single-step* sharded
-    program — psum/ghost/gspmd/production — round-trips the cache fine,
-    so the bypass is scoped to exactly this shape of program).  Real-TPU
-    collectives don't use the in-process rendezvous, so only the CPU
-    backend is affected.  Toggling ``jax_compilation_cache_dir`` does not
-    invalidate live jit caches (verified), so wrapping every call is
-    cheap."""
-    if jax.default_backend() != "cpu" or jax.device_count() == 1:
-        yield
-        return
-    prev = jax.config.jax_compilation_cache_dir
-    if not prev:
-        yield
-        return
-    jax.config.update("jax_compilation_cache_dir", None)
-    try:
-        yield
-    finally:
-        jax.config.update("jax_compilation_cache_dir", prev)
+# CI plumbing for the XLA:CPU in-process-communicator deadlock lives in
+# utils/backend_quirks.py (no-op on TPU and on single-device backends)
+from ..utils.backend_quirks import \
+    no_persistent_cache_for_cpu_collectives as \
+    _no_persistent_cache_for_cpu_collectives  # noqa: E402
 
 
 class StepStats(NamedTuple):

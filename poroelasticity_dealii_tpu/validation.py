@@ -79,15 +79,48 @@ def _cg(A, b, x0, rtol, atol, maxiter=1000):
     return x, count[0], info == 0
 
 
-class ReferenceRerun:
-    """Assembled-matrix re-execution of ``PoroElasticProblem::run()``
-    (uniform mesh — the reference's AMR path is exercised separately)."""
+def _constraint_matrix(hc, n: int) -> sparse.csr_matrix:
+    """Sparse 'distribute' matrix C of a HangingConstraints table: identity
+    on non-hanging dofs; row h of a hanging dof holds its master weights
+    (deal.II's ConstraintMatrix as an explicit matrix).  Cᵀ r is exactly
+    ``condense_vec`` (hanging entries land on masters and zero out, since
+    column h is empty), Cᵀ A C + I_hh the condensed SPD operator."""
+    C = sparse.identity(n, format="lil")
+    if hc is not None and not getattr(hc, "empty", True):
+        h = np.asarray(hc.hanging)
+        m = np.asarray(hc.masters)
+        w = np.asarray(hc.weights, dtype=np.float64)
+        for i, hi in enumerate(h):
+            C[int(hi), int(hi)] = 0.0
+            for mj, wj in zip(m[i], w[i]):
+                if wj != 0.0:
+                    C[int(hi), int(mj)] += float(wj)
+    return C.tocsr()
 
-    def __init__(self, data: InputData):
+
+class ReferenceRerun:
+    """Assembled-matrix re-execution of ``PoroElasticProblem::run()``.
+
+    Uniform box mesh by default; pass ``forest`` (an amr.QuadForest) to
+    assemble on its current 1-irregular mesh with hanging-node constraints
+    condensed exactly the way deal.II's ``ConstraintMatrix`` does
+    (``DoFTools::make_hanging_node_constraints`` +
+    ``constraints.condense``, ``PoroElasticPressureSolver.h:71-78`` /
+    ``PoroElasticDisplacementSolver.h:109-137``): Ā = CᵀAC with identity
+    on the hanging block, RHS/residual condensed as Cᵀr, solutions
+    distributed as C x.  The constraint TABLES come from the explicit 2D
+    edge builder (geometric interpolation facts, unit-tested against the
+    dim-generic Lagrange-trace builder); all matrices/solves here remain
+    scipy-assembled and independent of the production jax stack."""
+
+    def __init__(self, data: InputData, forest=None):
         dim = data.dim
         self.data = data
-        mesh = hyper_rectangle(data.domain_size,
-                               data.initial_refinement_level)
+        if forest is not None:
+            mesh = forest.to_mesh()
+        else:
+            mesh = hyper_rectangle(data.domain_size,
+                                   data.initial_refinement_level)
         self.mesh = mesh
         sp_p = build_fe_space(mesh, 1)
         sp_u = build_fe_space(mesh, 2)
@@ -171,102 +204,214 @@ class ReferenceRerun:
         # identification shared above
         self.f_neumann = _neumann_vector(mesh, sp_u, data)
 
-        # Dirichlet split (PoroElasticDisplacementSolver.h:117-137)
+        # hanging-node condensation (identity Cs on conforming meshes)
+        if forest is not None:
+            from .amr.constraints import build_hanging_constraints
+            hc_p, hc_u = build_hanging_constraints(forest, mesh, sp_p, sp_u,
+                                                   np.float64)
+        else:
+            hc_p = hc_u = None
+        self.Cp = _constraint_matrix(hc_p, n_p)
+        self.Cu = _constraint_matrix(hc_u, n_u)
+        self.hang_p = np.zeros(n_p, bool)
+        self.hang_u = np.zeros(n_u, bool)
+        if hc_p is not None and not hc_p.empty:
+            self.hang_p[np.asarray(hc_p.hanging)] = True
+        if hc_u is not None and not hc_u.empty:
+            self.hang_u[np.asarray(hc_u.hanging)] = True
+        Ihp = sparse.diags(self.hang_p.astype(np.float64))
+        self.Mc = (self.Cp.T @ self.M @ self.Cp).tocsr()
+        self.Lc = (self.Cp.T @ self.L @ self.Cp).tocsr()
+        self.Mbar = (self.Mc + Ihp).tocsr()
+        self.Ihp = Ihp
+        Kbar = (self.Cu.T @ self.K @ self.Cu
+                + sparse.diags(self.hang_u.astype(np.float64))).tocsr()
+
+        # Dirichlet split (PoroElasticDisplacementSolver.h:117-137) on the
+        # condensed operator; hanging dofs are excluded from the free set
+        # (their identity rows drive them to 0; distribute fills them)
         free, vals = _dirichlet_constraints(mesh, sp_u, data)
+        free = free & ~self.hang_u
         self.free = free
-        self.g = np.where(free, 0.0, vals)
-        self.Kff = self.K[free][:, free]
-        self.K_lift = self.K[free][:, ~free] @ vals[~free]
+        self.g = np.where(free | self.hang_u, 0.0, vals)
+        self.Kff = Kbar[free][:, free]
+        self.K_lift = Kbar[free][:, ~free] @ self.g[~free]
 
         self.n_p, self.n_u = n_p, n_u
 
     # ---- the three solves -------------------------------------------------
     def solve_mechanics(self, p, u_warm):
-        """CG abs tol 1e-12 (PoroElasticDisplacementSolver.h:294-307)."""
-        rhs = (self.C @ p) + self.f_neumann
+        """CG abs tol 1e-12 (PoroElasticDisplacementSolver.h:294-307), on
+        the hanging-condensed + Dirichlet-split operator."""
+        rhs = self.Cu.T @ ((self.C @ p) + self.f_neumann)
         b = rhs[self.free] - self.K_lift
         x, it, ok = _cg(self.Kff, b, u_warm[self.free], rtol=0.0,
                         atol=1e-12)
         u = self.g.copy()
         u[self.free] = x
-        return u, it, ok
+        return self.Cu @ u, it, ok          # distribute hanging values
 
     def project(self, u, entries, strains):
         """Mass solves, rel tol 1e-8 (StrainProjector.h:201-232)."""
         total = 0
         for c in entries:
-            b = self.P[c] @ u
-            x, it, ok = _cg(self.M, b, strains[c],
-                            rtol=1e-8, atol=0.0)
-            strains[c] = x
+            b = self.Cp.T @ (self.P[c] @ u)
+            x0 = np.where(self.hang_p, 0.0, strains[c])
+            x, it, ok = _cg(self.Mbar, b, x0, rtol=1e-8, atol=0.0)
+            strains[c] = self.Cp @ x
             total += it
         return total
 
     def residual(self, p, p_old, eps_v, eps_v0, dt):
-        """Negated flow residual (PoroElasticPressureSolver.h:113-155)."""
+        """Negated, condensed flow residual
+        (PoroElasticPressureSolver.h:113-155 + constraints.condense)."""
         d = self.data
         acc = (d.biot_coef / dt) * (eps_v - eps_v0) \
             + (p - p_old) / (d.m_modulus * dt)
         r = self.M @ acc + (d.perm / d.visc) * (self.L @ p) + self.f_well
-        return -r
+        return self.Cp.T @ (-r)
+
+    def jacobian(self, dt):
+        """Condensed pressure Jacobian (PoroElasticPressureSolver.h:158-169)."""
+        d = self.data
+        return (self.Mc / (d.m_modulus * dt)
+                + (d.perm / d.visc) * self.Lc + self.Ihp).tocsr()
+
+    # ---- one reference time step (the FSS loop of :347-407) --------------
+    def initial_fields(self):
+        """The reference's initialization (:311-317)."""
+        d = self.data
+        vol = VOLUMETRIC_ENTRIES[d.dim]
+        p = np.full(self.n_p, d.p_init)
+        u = np.zeros(self.n_u)
+        u, _, _ = self.solve_mechanics(p, u)
+        strains = [np.zeros(self.n_p) for _ in VOIGT_PAIRS[d.dim]]
+        self.project(u, vol, strains)
+        eps_v = sum(strains[c] for c in vol)
+        return p, u, eps_v, eps_v.copy(), strains
+
+    def step(self, p, u, eps_v, eps_v0, strains, time):
+        """One time step; mutates nothing, returns updated fields + the
+        history record (loop body of PoroelasticityFSS.h:327-413)."""
+        d = self.data
+        dt = d.time_step
+        vol = VOLUMETRIC_ENTRIES[d.dim]
+        J = self.jacobian(dt)
+        p_old = p.copy()
+        err = 2.0 * d.pressure_tol                        # (:345)
+        fss = 0
+        press_total = 0
+        err_hist = []
+        while fss < d.max_fss_iterations and err > d.fss_tol:
+            fss += 1
+            du = np.zeros(self.n_p)                       # (:356)
+            p_iter = 0
+            while p_iter < d.max_pressure_iterations:
+                p_iter += 1
+                eps_v = eps_v + (d.biot_coef / d.bulk_modulus) * du
+                r = self.residual(p, p_old, eps_v, eps_v0, dt)
+                err = np.linalg.norm(r)
+                if err < d.pressure_tol:
+                    break
+                x0 = np.where(self.hang_p, 0.0, du)
+                x, _, _ = _cg(J, r, x0, rtol=1e-8, atol=0.0)
+                du = self.Cp @ x                          # distribute
+                p = p + du
+                press_total += 1
+            u, _, _ = self.solve_mechanics(p, u)
+            strains = [s.copy() for s in strains]
+            self.project(u, vol, strains)
+            # eps_v NOT resynced (:399 commented out in the reference)
+            r = self.residual(p, p_old, eps_v, eps_v0, dt)
+            err = np.linalg.norm(r)
+            err_hist.append(float(err))
+        record = {
+            "time": time,
+            "n_cells": self.mesh.n_cells,
+            "n_pdofs": self.n_p,
+            "fss_iterations": fss,
+            "pressure_iterations": press_total,
+            "pressure_error": float(err),
+            "fss_error_history": err_hist,
+        }
+        return p, u, eps_v, strains, record
 
     # ---- the reference run loop (PoroelasticityFSS.h:295-415, no AMR) ----
     def run(self, n_steps: Optional[int] = None) -> List[dict]:
         d = self.data
-        dim = d.dim
-        dt = d.time_step
-        J = self.M / (d.m_modulus * dt) + (d.perm / d.visc) * self.L
-        vol = VOLUMETRIC_ENTRIES[dim]
-
-        # initialization (:311-317)
-        p = np.full(self.n_p, d.p_init)
-        u = np.zeros(self.n_u)
-        u, _, _ = self.solve_mechanics(p, u)
-        strains = [np.zeros(self.n_p) for _ in VOIGT_PAIRS[dim]]
-        self.project(u, vol, strains)
-        eps_v = sum(strains[c] for c in vol)
-        eps_v0 = eps_v.copy()
-
+        p, u, eps_v, eps_v0, strains = self.initial_fields()
         history = []
         time, step = 0.0, 0
         while time < d.t_max and (n_steps is None or step < n_steps):
-            time += dt
+            time += d.time_step
             step += 1
-            p_old = p.copy()
-            err = 2.0 * d.pressure_tol                        # (:345)
-            fss = 0
-            press_total = 0
-            err_hist = []
-            while fss < d.max_fss_iterations and err > d.fss_tol:
-                fss += 1
-                du = np.zeros(self.n_p)                       # (:356)
-                p_iter = 0
-                while p_iter < d.max_pressure_iterations:
-                    p_iter += 1
-                    eps_v = eps_v + (d.biot_coef / d.bulk_modulus) * du
-                    r = self.residual(p, p_old, eps_v, eps_v0, dt)
-                    err = np.linalg.norm(r)
-                    if err < d.pressure_tol:
-                        break
-                    du, _, _ = _cg(J, r, du, rtol=1e-8, atol=0.0)
-                    p = p + du
-                    press_total += 1
-                u, _, _ = self.solve_mechanics(p, u)
-                self.project(u, vol, strains)
-                # eps_v NOT resynced (:399 commented out in the reference)
-                r = self.residual(p, p_old, eps_v, eps_v0, dt)
-                err = np.linalg.norm(r)
-                err_hist.append(float(err))
-            history.append({
-                "time": time,
-                "fss_iterations": fss,
-                "pressure_iterations": press_total,
-                "pressure_error": float(err),
-                "fss_error_history": err_hist,
-            })
+            p, u, eps_v, strains, rec = self.step(p, u, eps_v, eps_v0,
+                                                  strains, time)
+            history.append(rec)
         return history
 
 
 def run_reference_algorithm(data: InputData,
                             n_steps: Optional[int] = None) -> List[dict]:
     return ReferenceRerun(data).run(n_steps)
+
+
+def run_adaptive_reference_algorithm(data: InputData,
+                                     n_steps: Optional[int] = None
+                                     ) -> List[dict]:
+    """Assembled-scipy re-execution of the reference's ADAPTIVE golden run:
+    the time loop of ``PoroelasticityFSS.h:327-413`` including the
+    every-``refine_every``-th-step Kelly refine/coarsen + SolutionTransfer
+    (``:333-340`` + ``:448-498``), with hanging-node constraints condensed
+    per :class:`ReferenceRerun`.
+
+    The mesh-adaptation choices (Kelly indicator, fixed-fraction marks,
+    forest refine/coarsen, nodal transfer) are the shared host-side numpy
+    primitives also used by the production AMR driver — they are
+    geometric/marking facts, unit-tested in isolation (tests/test_amr.py),
+    and identical inputs must yield identical meshes for the history
+    comparison to be about the SOLVER.  Every matrix, residual, and CG
+    solve between remeshes remains independently assembled scipy."""
+    from .amr.forest import QuadForest
+    from .amr.kelly import fixed_fraction_marks, kelly_estimate
+    from .amr.transfer import transfer_nodal
+
+    d = data
+    if d.dim != 2:
+        raise NotImplementedError("adaptive oracle is 2D")
+    size = np.asarray(d.domain_size[:2], float)
+    forest = QuadForest.uniform(-size / 2, size / 2,
+                                d.initial_refinement_level)
+    rerun = ReferenceRerun(d, forest=forest)
+    p, u, eps_v, eps_v0, strains = rerun.initial_fields()
+
+    history: List[dict] = []
+    time, step = 0.0, 0
+    while time < d.t_max and (n_steps is None or step < n_steps):
+        time += d.time_step
+        step += 1
+        if d.refine_every and step % d.refine_every == 0:
+            mesh_old = rerun.mesh
+            forest_old = QuadForest(forest.lower, forest.upper,
+                                    set(forest.leaves))
+            eta = kelly_estimate(forest, mesh_old, p)
+            refine, coarsen = fixed_fraction_marks(
+                forest, eta, 0.6, 0.4,
+                min_level=d.initial_refinement_level,
+                max_level=d.max_refinement_level)
+            forest.refine_and_coarsen(refine, coarsen)
+            rerun = ReferenceRerun(d, forest=forest)
+            new_pts = rerun.sp_p.node_coords
+            fields = np.concatenate([np.stack([p, eps_v, eps_v0]),
+                                     np.asarray(strains)])
+            moved = transfer_nodal(forest_old, mesh_old, fields, new_pts)
+            n_voigt = len(VOIGT_PAIRS[2])
+            p, eps_v, eps_v0 = moved[0], moved[1], moved[2]
+            strains = [moved[3 + c] for c in range(n_voigt)]
+            u_vert = u.reshape(-1, 2)[:mesh_old.n_vertices].T
+            u = transfer_nodal(forest_old, mesh_old, u_vert,
+                               rerun.sp_u.node_coords).T.reshape(-1)
+        p, u, eps_v, strains, rec = rerun.step(p, u, eps_v, eps_v0,
+                                               strains, time)
+        history.append(rec)
+    return history

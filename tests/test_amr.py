@@ -182,7 +182,7 @@ def test_transfer_linear_exact():
 def test_adaptive_golden_run():
     data = read_input_file(GOLDEN)
     data = dataclasses.replace(data, initial_refinement_level=3,
-                               max_refinement_level=2, t_max=600.0,
+                               max_refinement_level=5, t_max=600.0,
                                amr=True)
     runner = AMRSimulationRunner(data)
     n0 = runner.disc.n_cells
@@ -210,7 +210,7 @@ def test_amr_checkpoint_resume(tmp_path):
     and reproduces the uninterrupted run."""
     data = read_input_file(GOLDEN)
     data = dataclasses.replace(
-        data, initial_refinement_level=3, max_refinement_level=2,
+        data, initial_refinement_level=3, max_refinement_level=5,
         t_max=480.0, amr=True, output_vtk=False, checkpoint_every=6,
         checkpoint_directory=str(tmp_path / "ck"))
     runner_full = AMRSimulationRunner(data)

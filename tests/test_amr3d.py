@@ -242,7 +242,7 @@ def test_transfer3d_linear_exact():
 def test_adaptive_consolidation_3d_run(tmp_path):
     data = read_input_file(DECK3D)
     data = dataclasses.replace(
-        data, initial_refinement_level=2, max_refinement_level=1,
+        data, initial_refinement_level=2, max_refinement_level=3,
         t_max=360.0, amr=True, output_vtk=False,
         output_directory=str(tmp_path))
     runner = AMRSimulationRunner(data)

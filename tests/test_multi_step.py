@@ -162,17 +162,47 @@ def test_deck_knob_steps_per_dispatch(tmp_path):
     assert data.steps_per_dispatch == 8
 
 
-def test_amr_runner_warns_steps_per_dispatch(tmp_path):
-    """The AMR driver reads host state every step, so the knob is ignored
-    there — loudly, not silently."""
+def test_amr_runner_warns_steps_per_dispatch_with_vtk(tmp_path):
+    """Per-step VTK/checkpoint output forces the per-step AMR path — the
+    knob degrades loudly, not silently."""
     from poroelasticity_dealii_tpu.amr.driver import AMRSimulationRunner
     data = read_input_file(GOLDEN)
     data = dataclasses.replace(
-        data, amr=True, initial_refinement_level=3, max_refinement_level=1,
-        steps_per_dispatch=4, output_vtk=False,
+        data, amr=True, initial_refinement_level=3, max_refinement_level=4,
+        steps_per_dispatch=4, output_vtk=True,
         output_directory=str(tmp_path))
     with pytest.warns(RuntimeWarning, match="Steps per dispatch"):
-        AMRSimulationRunner(data)
+        runner = AMRSimulationRunner(data)
+    assert not runner._fused
+
+
+def test_amr_fused_dispatch_matches_per_step(tmp_path):
+    """Fused multi-step dispatch between remesh points (round-3 verdict
+    item 8): an adaptive run with 'Steps per dispatch = 3' reproduces the
+    per-step adaptive run — same mesh sequence, same per-step iteration
+    counts, same fields."""
+    from poroelasticity_dealii_tpu.amr.driver import AMRSimulationRunner
+    data = read_input_file(GOLDEN)
+    base = dataclasses.replace(
+        data, amr=True, initial_refinement_level=3, max_refinement_level=5,
+        t_max=660.0, output_vtk=False, output_directory=str(tmp_path))
+
+    runner_ref = AMRSimulationRunner(base)
+    state_ref, hist_ref = runner_ref.run()
+    runner_fus = AMRSimulationRunner(
+        dataclasses.replace(base, steps_per_dispatch=3))
+    assert runner_fus._fused
+    state_fus, hist_fus = runner_fus.run()
+
+    assert runner_fus.forest.leaves == runner_ref.forest.leaves
+    assert len(hist_fus) == len(hist_ref) == 11
+    for hf, hr in zip(hist_fus, hist_ref):
+        assert hf["n_cells"] == hr["n_cells"], hf["step"]
+        assert hf["fss"] == hr["fss"], hf["step"]
+        assert hf["press"] == hr["press"], hf["step"]
+        np.testing.assert_allclose(hf["err"], hr["err"], rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(state_fus.p),
+                               np.asarray(state_ref.p), rtol=1e-12)
 
 
 def test_multi_step_rejects_traced_dt(golden):

@@ -110,7 +110,7 @@ def test_nondimensional_amr_matches_dimensional(tmp_path):
     from poroelasticity_dealii_tpu.amr.driver import AMRSimulationRunner
     base = read_input_file(GOLDEN)
     base = dataclasses.replace(
-        base, amr=True, initial_refinement_level=3, max_refinement_level=1,
+        base, amr=True, initial_refinement_level=3, max_refinement_level=4,
         refine_every=3, t_max=300.0, output_vtk=False,
         domain_size=(10.0, 14.0), output_directory=str(tmp_path))
     st_dim, hist_dim = AMRSimulationRunner(base).run()
@@ -133,7 +133,7 @@ def test_kelly_distribution_scale_invariant():
     from poroelasticity_dealii_tpu.amr.driver import AMRSimulationRunner
     base = read_input_file(GOLDEN)
     base = dataclasses.replace(base, amr=True, initial_refinement_level=3,
-                               max_refinement_level=1, output_vtk=False)
+                               max_refinement_level=4, output_vtk=False)
     scaled, sc = nondimensionalize(base)
     from poroelasticity_dealii_tpu.amr.kelly import kelly_estimate
 
@@ -158,7 +158,7 @@ def test_nondimensional_amr_from_deck_outputs_si(tmp_path):
     from poroelasticity_dealii_tpu.models.runner import run_from_data
     data = read_input_file(GOLDEN)
     data = dataclasses.replace(
-        data, amr=True, initial_refinement_level=3, max_refinement_level=1,
+        data, amr=True, initial_refinement_level=3, max_refinement_level=4,
         refine_every=2, t_max=180.0, nondimensionalize=True,
         output_directory=str(tmp_path))
     os.makedirs(data.output_directory, exist_ok=True)
