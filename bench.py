@@ -349,7 +349,10 @@ def breakdown(data, disc, solver, quiet=False):
     models = _op_models(data, disc)
     if ro is not None:
         rb = int(np.prod(R.shape)) * 4
-        models["elasticity_apply_rows"] = (2 * rb,
+        # honest traffic: input slab DMA + free-mask slab DMA + output
+        # tile = 3R per apply (the round-3 2R model undercounted the v4
+        # kernel's mask stream)
+        models["elasticity_apply_rows"] = (3 * rb,
                                            models["elasticity_apply"][1])
         models["mech_cg_iteration"] = models["elasticity_apply_rows"]
         models["coupling_rhs_rows"] = (p.size * 4 + rb,
@@ -453,6 +456,59 @@ def measure_x64(n_steps=1, cells=CELLS_PER_AXIS, elasticity_backend=None):
 
 BC_RATE = 0.05   # per-step Dirichlet load ramp for the evolving variant
 
+CELLS_2D = 512   # 512^2 cells -> 2,102,786 Q2 disp + 263,169 Q1 press
+#                  = 2.37M DOF: the 2D at-scale point (the reference is
+#                  practically a 2D code — right_hand_side.h:104 asserts
+#                  dim == 2; BASELINE.json configs[0-1] are 2D)
+
+
+def build_2d(cells=CELLS_2D, elasticity_backend=None):
+    """The 2D at-scale variant (round-3 verdict item 6): the golden deck's
+    physics on a 512^2 grid, same f32 tolerance scheme as the 3D bench.
+    2D runs take the conv-stencil path (the Pallas row kernel is 3D-Q2)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from poroelasticity_dealii_tpu.config import read_input_file
+    from poroelasticity_dealii_tpu.solvers import FixedStressSolver
+    from poroelasticity_dealii_tpu.solvers.structured import \
+        build_grid_discretization
+    data = read_input_file(os.path.join(HERE, "configs/golden_2d.data"))
+    data = dataclasses.replace(
+        data, dtype="float32",
+        flow_rate=1e-2,
+        fss_tol=2e-5, pressure_tol=2e-5,
+        mech_cg_tol=1e-5, mech_cg_relative=True,
+        pressure_cg_tol=1e-5, projection_cg_tol=1e-5)
+    t0 = time.perf_counter()
+    disc = build_grid_discretization(data, cells_per_axis=cells,
+                                     multigrid="off",
+                                     elasticity_backend=elasticity_backend)
+    solver = FixedStressSolver(disc, data)
+    n_dofs = disc.n_pdofs + disc.n_udofs
+    print(f"# 2d setup: {time.perf_counter() - t0:.1f}s, "
+          f"cells={disc.n_cells}, dofs={n_dofs}", file=sys.stderr)
+    return data, disc, solver, n_dofs
+
+
+def measure_2d(cells=CELLS_2D, elasticity_backend=None):
+    data, disc, solver, n_dofs = build_2d(cells, elasticity_backend)
+    res = measure(data, solver, tag="2d ", scan=True)
+    res_ev = measure(data, solver, bc_rate=BC_RATE, tag="2d evolving ",
+                     scan=True)
+    return {
+        "cells_per_axis": cells,
+        "n_dofs": n_dofs,
+        "ms_per_step_chained": round(res.chained * 1e3, 2),
+        "ms_per_step_synced": round(res.synced * 1e3, 2),
+        "scan_ms_per_step": (round(res.scanned * 1e3, 2)
+                             if res.scanned else None),
+        "evolving_ms_per_step_chained": round(res_ev.chained * 1e3, 2),
+        "evolving_scan_ms_per_step": (round(res_ev.scanned * 1e3, 2)
+                                      if res_ev.scanned else None),
+        "chained_reps_ms": [round(c * 1e3, 2) for c in res.chained_reps],
+        "backend": "conv-stencil (2D)",
+    }
+
 DETAIL_FILE = os.path.join(HERE, "bench_detail.json")
 HEADLINE_MAX_BYTES = 1000    # the driver tail-captures the LAST line only;
                              # round 3's single giant line overflowed it and
@@ -533,6 +589,9 @@ def main():
     if "--x64-only" in sys.argv:
         print(json.dumps({"x64_reference_tol": measure_x64()}))
         return
+    if "--2d-only" in sys.argv:
+        print(json.dumps({"d2_at_scale": measure_2d()}))
+        return
     if "--breakdown" in sys.argv:
         data, disc, solver, n_dofs = build(elasticity_backend=backend)
         breakdown(data, disc, solver)
@@ -609,6 +668,20 @@ def main():
             x64 = {"error": f"{type(e).__name__}: {e}"[:500],
                    "last_measured": "35.5 s/step chained (2026-08-17, "
                    "f64 conv+GMG at 40^3, see BASELINE.md round-3 table)"}
+    # 2D at-scale variant (bounded subprocess like x64): the reference is
+    # practically 2D, so the judged artifact carries a 2D ms/step too
+    d2 = None
+    if "--no-2d" not in sys.argv:
+        import subprocess
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--2d-only"],
+                cwd=HERE, timeout=1800, text=True,
+                stdout=subprocess.PIPE, stderr=sys.stderr)
+            d2 = json.loads(proc.stdout.strip().splitlines()[-1]
+                            )["d2_at_scale"]
+        except Exception as e:
+            d2 = {"error": f"{type(e).__name__}: {e}"[:500]}
 
     vs_baseline = vs_baseline_ev = vs_baseline_x64 = None
     base = {}
@@ -648,6 +721,8 @@ def main():
         "x64_reference_tol_ms": x64_ms,
         "vs_baseline_x64": (round(vs_baseline_x64, 1)
                             if vs_baseline_x64 else None),
+        "d2_ms": (d2 or {}).get("ms_per_step_chained"),
+        "d2_scan_ms": (d2 or {}).get("scan_ms_per_step"),
         "detail": "bench_detail.json",
     }
     detail = {
@@ -661,6 +736,7 @@ def main():
         "steady_note": "includes skip-optimized settled tail steps",
         "evolving_synced_ms_per_step": round(ms_ev_sync, 2),
         "x64_reference_tol": x64,
+        "d2_at_scale": d2,
         "utilization": util,
     }
     emit(headline, detail)

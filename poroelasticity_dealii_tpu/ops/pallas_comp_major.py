@@ -43,13 +43,18 @@ mechanics apply on TPU: the round-1 profiling showed the kernel itself at
   the to_rows/from_rows conversions happen once per SOLVE, not per apply
   (fss._mechanics_solve).
 
-Measured on v5e at 40^3 (1.66M DOF), f32: rows->rows apply 0.55-0.9 ms
-(tc=10, host-chained calls — see docs/VALIDATION.md "Blessed kernel
-timings" for the in-step ~0.2-0.3 ms and what each mode measures) vs the
-conv-stencil path's 6.9 ms — 7-12x; rel err 2.3e-7.
-Remaining headroom (speed-of-light ~40 us = 17 MB HBM + 0.86 GFLOP): the
-per-layer VMEM shuffle (4 shift-group concats + 27 scatter RMWs) — see
-docs/ROADMAP.md.
+Measured on v5e at 40^3 (1.66M DOF), f32, in-jit chained (round 4):
+rows->rows apply / free / constrained = **61.5 / 63.6 / 62.5 us** (tc=10)
+vs the conv-stencil path's ~6.3 ms — ~100x; rel err vs conv 7e-8.  The
+round-4 step (scripts/apply_ablation.py): the per-layer gather now lands
+in ONE VMEM operand scratch and runs ONE (81,81)@(81,Lc) MXU pass —
+the previous 4 per-shift-group matmuls (contraction dims 36/18/18/9)
+measured 4.6x slower because each small-K dot re-streams the whole
+(81,Lc) accumulator.  At 3R honest traffic (input DMA + mask DMA +
+output) that is ~340 GB/s = 44% of the measured-achievable 768 GB/s;
+the remaining gap to the ~28 us DMA floor is the per-layer scatter RMWs
+(ablated ~17 us) + operand-assembly copies — see docs/VALIDATION.md
+"mechanics CG roofline".
 
 Round-1 ablation notes (kept for the record): per-comp -> per-node
 scatter batching no change; stitch as single concatenation no change;
@@ -342,8 +347,33 @@ def make_reference_apply(element_matrix: np.ndarray, n: int,
 # Pallas kernel v2: carry-based overlap (no host stitch), double-buffered DMA
 # ---------------------------------------------------------------------------
 
+def _gather_one_matmul(sl, ops, Kp, plan, zr, Lc, out_dtype, msl=None):
+    """Assemble the full 81-row shifted operand into the ``ops`` VMEM
+    scratch (one contiguous write per interval, rows in the permuted
+    element-matrix order), then ONE (81, 81) @ (81, Lc) MXU pass.
+
+    Round-4 measurement (scripts/apply_ablation.py, v5e, 40^3): the
+    previous per-shift-group SPLIT matmuls (contraction dims 36/18/18/9)
+    ran this same dataflow at 287 us vs 62 us for the fused form — each
+    small-K dot re-streams the whole (81, Lc) accumulator through the
+    MXU, so fusing the contraction dimension is worth ~4.6x.  ``msl``:
+    optional mask slab multiplied into the operand (the v3 constrained
+    gather)."""
+    row = 0
+    for (shift, col0, ivs) in plan:
+        for (dz, r0, cnt) in ivs:
+            r = (zr + dz) * 24 + r0
+            blk = sl[r:r + cnt, shift:shift + Lc]
+            if msl is not None:
+                blk = blk * msl[r:r + cnt, shift:shift + Lc]
+            ops[row:row + cnt, 0:Lc] = blk
+            row += cnt
+    return jnp.dot(Kp, ops[:, 0:Lc], preferred_element_type=out_dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _kernel_v2(nv_ref, rows_hbm, ke_ref, mask_ref, out_ref, scratch, carry,
-               sem, *, n: int, tc: int, W: int, n_blocks: int):
+               ops, sem, *, n: int, tc: int, W: int, n_blocks: int):
     """Grid = n_blocks + 1 sequential steps.
 
     Block k < n_blocks processes cell layers [k*tc, k*tc + tc) and emits
@@ -401,21 +431,10 @@ def _kernel_v2(nv_ref, rows_hbm, ke_ref, mask_ref, out_ref, scratch, carry,
         carry[...] = jnp.zeros_like(carry)
 
         for zr in range(tc):                            # cell layer
-            # gather: per shift group, concat of CONTIGUOUS row intervals
-            # (14 slices total vs 27 per-node slices — see _interval_plan)
-            ye = None
-            for (shift, col0, ivs) in plan:
-                parts = [sl[(zr + dz) * 24 + r0:(zr + dz) * 24 + r0 + cnt,
-                            shift:shift + Lc]
-                         for (dz, r0, cnt) in ivs]
-                U_s = parts[0] if len(parts) == 1 else jnp.concatenate(
-                    parts, axis=0)
-                ncols = sum(cnt for (_, _, cnt) in ivs)
-                K_s = Kp[:, col0:col0 + ncols]
-                part = jnp.dot(K_s, U_s,
-                               preferred_element_type=out_ref.dtype,
-                               precision=jax.lax.Precision.HIGHEST)
-                ye = part if ye is None else ye + part
+            # gather into the ops scratch (14 contiguous interval copies,
+            # see _interval_plan) + ONE fused 81-contraction MXU pass
+            ye = _gather_one_matmul(sl, ops, Kp, plan, zr, Lc,
+                                    out_ref.dtype)
             ye = ye * m[:, :Lc]                         # phantom columns
             valid = (k * tc + zr < nv_ref[0]).astype(out_ref.dtype)
             ye = ye * valid                             # phantom layers
@@ -498,6 +517,7 @@ def make_pallas_apply_rows(element_matrix: np.ndarray, n: int,
             scratch_shapes=[
                 pltpu.VMEM((2, (tc + 1) * 24, W), dtype),
                 pltpu.VMEM((24, W), dtype),
+                pltpu.VMEM((81, W), dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
@@ -508,7 +528,7 @@ def make_pallas_apply_rows(element_matrix: np.ndarray, n: int,
 
 
 def _kernel_v3(nv_ref, rows_hbm, mask_hbm, ke_ref, lmask_ref, out_ref,
-               scratch, mscratch, carry, sem, msem, *, n: int, tc: int,
+               scratch, mscratch, carry, ops, sem, msem, *, n: int, tc: int,
                W: int, n_blocks: int):
     """v2 + the Dirichlet mask folded in: ONE kernel call computes the
     whole constrained apply ``y = m * A(m x) + (1 - m) x`` (round-2
@@ -565,22 +585,8 @@ def _kernel_v3(nv_ref, rows_hbm, mask_hbm, ke_ref, lmask_ref, out_ref,
         carry[...] = jnp.zeros_like(carry)
 
         for zr in range(tc):                            # cell layer
-            ye = None
-            for (shift, col0, ivs) in plan:
-                parts = [sl[(zr + dz) * 24 + r0:(zr + dz) * 24 + r0 + cnt,
-                            shift:shift + Lc]
-                         * msl[(zr + dz) * 24 + r0:
-                               (zr + dz) * 24 + r0 + cnt,
-                               shift:shift + Lc]
-                         for (dz, r0, cnt) in ivs]
-                U_s = parts[0] if len(parts) == 1 else jnp.concatenate(
-                    parts, axis=0)
-                ncols = sum(cnt for (_, _, cnt) in ivs)
-                K_s = Kp[:, col0:col0 + ncols]
-                part = jnp.dot(K_s, U_s,
-                               preferred_element_type=out_ref.dtype,
-                               precision=jax.lax.Precision.HIGHEST)
-                ye = part if ye is None else ye + part
+            ye = _gather_one_matmul(sl, ops, Kp, plan, zr, Lc,
+                                    out_ref.dtype, msl=msl)
             ye = ye * m[:, :Lc]                         # phantom columns
             valid = (k * tc + zr < nv_ref[0]).astype(out_ref.dtype)
             ye = ye * valid                             # phantom layers
@@ -612,7 +618,7 @@ def _kernel_v3(nv_ref, rows_hbm, mask_hbm, ke_ref, lmask_ref, out_ref,
 
 
 def _kernel_v4(nv_ref, rows_hbm, mask_hbm, ke_ref, lmask_ref, out_ref,
-               scratch, mscratch, carry, sem, msem, *, n: int, tc: int,
+               scratch, mscratch, carry, ops, sem, msem, *, n: int, tc: int,
                W: int, n_blocks: int):
     """v3 minus the input-side Dirichlet masking: computes ``y = m * A(x)``
     for inputs that are ALREADY in the free subspace (zero at constrained
@@ -665,19 +671,8 @@ def _kernel_v4(nv_ref, rows_hbm, mask_hbm, ke_ref, lmask_ref, out_ref,
         carry[...] = jnp.zeros_like(carry)
 
         for zr in range(tc):                            # cell layer
-            ye = None
-            for (shift, col0, ivs) in plan:
-                parts = [sl[(zr + dz) * 24 + r0:(zr + dz) * 24 + r0 + cnt,
-                            shift:shift + Lc]
-                         for (dz, r0, cnt) in ivs]
-                U_s = parts[0] if len(parts) == 1 else jnp.concatenate(
-                    parts, axis=0)
-                ncols = sum(cnt for (_, _, cnt) in ivs)
-                K_s = Kp[:, col0:col0 + ncols]
-                part = jnp.dot(K_s, U_s,
-                               preferred_element_type=out_ref.dtype,
-                               precision=jax.lax.Precision.HIGHEST)
-                ye = part if ye is None else ye + part
+            ye = _gather_one_matmul(sl, ops, Kp, plan, zr, Lc,
+                                    out_ref.dtype)
             ye = ye * m[:, :Lc]                         # phantom columns
             valid = (k * tc + zr < nv_ref[0]).astype(out_ref.dtype)
             ye = ye * valid                             # phantom layers
@@ -751,6 +746,7 @@ def make_pallas_free_apply(element_matrix: np.ndarray, n: int,
                 pltpu.VMEM((2, (tc + 1) * 24, W), dtype),
                 pltpu.VMEM((2, (tc + 1) * 24, W), dtype),
                 pltpu.VMEM((24, W), dtype),
+                pltpu.VMEM((81, W), dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -809,6 +805,7 @@ def make_pallas_constrained_apply(element_matrix: np.ndarray, n: int,
                 pltpu.VMEM((2, (tc + 1) * 24, W), dtype),
                 pltpu.VMEM((2, (tc + 1) * 24, W), dtype),
                 pltpu.VMEM((24, W), dtype),
+                pltpu.VMEM((81, W), dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],

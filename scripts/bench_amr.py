@@ -8,8 +8,14 @@ rebuild + transfer + recompile), plus per-operator apply times at the
 run's final mesh size (the "is the generic path acceptable at reference
 AMR sizes" ablation: compare against the step budget).
 
-Usage: python scripts/bench_amr.py [--platform cpu]
+Usage: python scripts/bench_amr.py [--platform cpu] [--sharding psum]
 Prints one JSON line at the end.
+
+``--sharding psum`` runs the SAME adaptive schedule with the element-psum
+decomposition active (the only sharding that supports hanging nodes,
+``amr/driver.py``), so the output carries a sharded adaptive wall-clock
+next to the unsharded one — on the 8-virtual-device CPU mesh this is the
+"psum is within X% at AMR sizes" measurement (round-3 verdict item 8).
 """
 
 import json
@@ -33,9 +39,11 @@ from poroelasticity_dealii_tpu.config import read_input_file  # noqa: E402
 
 
 def main():
+    sharding = (sys.argv[sys.argv.index("--sharding") + 1]
+                if "--sharding" in sys.argv else "none")
     data = read_input_file("configs/golden_2d.data")
     data = dataclasses.replace(
-        data, amr=True, refine_every=5, output_vtk=False,
+        data, amr=True, refine_every=5, output_vtk=False, sharding=sharding,
         mech_cg_tol=1e-8, mech_cg_relative=True)  # see VALIDATION.md: the
     # reference-default ABSOLUTE 1e-12 sits below the f64 floor on refined
     # meshes and spins mechanics CG to the cap; relative 1e-8 is the
@@ -93,6 +101,8 @@ def main():
     print(json.dumps({
         "metric": "amr_golden_2d_adaptive_run",
         "backend": jax.default_backend(),
+        "sharding": sharding,
+        "n_devices": jax.device_count(),
         "steps": step,
         "final_n_cells": runner.disc.pressure_space.mesh.n_cells,
         "steady_solve_ms_median": round(float(np.median(warm)), 1),

@@ -76,10 +76,14 @@ def main():
         results[name] = d
         print(line)
 
-    # 1. raw HBM streaming bar: y = a*x + y on R-sized arrays (3 streams)
-    Y = jax.block_until_ready(R + 1.0)
-    axpy = jax.jit(lambda x: x * 1.000001 + Y)
-    rec("hbm_axpy_3R", bench._time_chained(axpy, R) , 3 * rbytes)
+    # 1. raw HBM streaming bar.  NOTE: a single R-sized (7 MB) loop-carried
+    # array FITS IN VMEM — XLA keeps it resident and a chained axpy on it
+    # measures VMEM, not HBM (first attempt read 2.8 TB/s).  Stream a
+    # VMEM-busting footprint instead: one pass over 10R in, R out.
+    big = jnp.asarray(rng.standard_normal((10,) + R.shape), disc.dtype)
+    big = jax.block_until_ready(big)
+    stream = jax.jit(lambda x: (big * x[None]).sum(0))
+    rec("hbm_stream_11R", bench._time_chained(stream, R), 11 * rbytes)
 
     # 2. the production apply (v4 free-subspace kernel)
     rec("free_apply_3R", bench._time_chained(ro.free_apply, R),
@@ -106,25 +110,28 @@ def main():
     z0 = R * inv_diag
     carry0 = (jnp.zeros_like(R), R, z0, jnp.vdot(R, z0))
 
-    def chain_iters(reps):
-        @jax.jit
-        def run(c):
-            return jax.lax.fori_loop(0, reps, lambda i, cc: cg_iter(cc), c)
-        return run
-
-    for reps in (24, 96):
-        run = chain_iters(reps)
-        jax.block_until_ready(run(carry0))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
+    def slope_time(body, carry0, reps_lo, reps_hi):
+        """Per-application DEVICE time via the two-chain slope (chains must
+        comfortably exceed the ~26 ms tunnel RTT, or block_until_ready's
+        round-trip hides the compute — first attempt measured 0.2 us/iter
+        because BOTH chains finished inside one RTT)."""
+        out = {}
+        for reps in (reps_lo, reps_hi):
+            @jax.jit
+            def run(c, reps=reps):
+                return jax.lax.fori_loop(0, reps,
+                                         lambda i, cc: body(cc), c)
             jax.block_until_ready(run(carry0))
-            best = min(best, time.perf_counter() - t0)
-        results[f"cg_iter_chain_{reps}"] = best
-    per_iter = (results["cg_iter_chain_96"] - results["cg_iter_chain_24"]) \
-        / 72
-    rec("cg_iteration_full", per_iter, None)
-    del results["cg_iter_chain_24"], results["cg_iter_chain_96"]
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(run(carry0))
+                best = min(best, time.perf_counter() - t0)
+            out[reps] = best
+        # ms per application (rec() and _time_chained speak milliseconds)
+        return (out[reps_hi] - out[reps_lo]) / (reps_hi - reps_lo) * 1e3
+
+    rec("cg_iteration_full", slope_time(cg_iter, carry0, 128, 512))
 
     # 4. the algebra alone (identical structure, apply replaced by a copy)
     def alg_iter(carry):
@@ -140,22 +147,8 @@ def main():
         rnorm = jnp.linalg.norm(r_new)
         return (x, r_new, p, rz_new + 0.0 * rnorm)
 
-    def chain_alg(reps):
-        @jax.jit
-        def run(c):
-            return jax.lax.fori_loop(0, reps, lambda i, cc: alg_iter(cc), c)
-        return run
-    times = {}
-    for reps in (24, 96):
-        run = chain_alg(reps)
-        jax.block_until_ready(run(carry0))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(carry0))
-            best = min(best, time.perf_counter() - t0)
-        times[reps] = best
-    rec("cg_algebra_only", (times[96] - times[24]) / 72, 10 * rbytes)
+    rec("cg_algebra_only", slope_time(alg_iter, carry0, 512, 4096),
+        10 * rbytes)
 
     # 5. kernel ablations: same grid/DMA structure, compute stripped
     W = pcm._width(n)

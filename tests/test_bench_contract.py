@@ -31,6 +31,8 @@ def _representative_headline():
         "synced_ms_per_step": 7777.77,
         "x64_reference_tol_ms": 77777.77,
         "vs_baseline_x64": 111475.9,
+        "d2_ms": 7777.77,
+        "d2_scan_ms": 7777.77,
         "detail": "bench_detail.json",
     }
 
