@@ -475,7 +475,13 @@ def build_2d(cells=CELLS_2D, elasticity_backend=None):
     data = read_input_file(os.path.join(HERE, "configs/golden_2d.data"))
     data = dataclasses.replace(
         data, dtype="float32",
-        flow_rate=1e-2,
+        # keep every solver hot at 512^2 with the ABSOLUTE fss/pressure
+        # tolerances: the deck's 1e-5 rate froze the run (residuals land
+        # under 2e-5 by step 3 and the bench measures no-ops: press=0,
+        # mech CG=0) and >=10 spins the pressure loop into its cap at the
+        # f32 floor.  1.0 measured press=4-6 / mech CG 350-700 / proj 4-10
+        # per step at 256^2 with no cap hits (round-4 probe).
+        flow_rate=1.0,
         fss_tol=2e-5, pressure_tol=2e-5,
         mech_cg_tol=1e-5, mech_cg_relative=True,
         pressure_cg_tol=1e-5, projection_cg_tol=1e-5)
