@@ -36,6 +36,19 @@ PEAK_HBM_GBPS = 819.0
 PEAK_MXU_TFLOPS_BF16 = 197.0
 
 
+def _setup_cache():
+    """Persistent compile cache for EVERY bench path (the 3D conv kernels
+    compile slowly cold, and the --2d-only / --x64-only subprocesses each
+    start a fresh process: without this they re-pay every compile)."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(HERE, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def build(platform=None, cells=CELLS_PER_AXIS, elasticity_backend=None):
     import jax
     if platform:
@@ -43,12 +56,7 @@ def build(platform=None, cells=CELLS_PER_AXIS, elasticity_backend=None):
     # x64 on: arrays stay float32, but CG dot products accumulate in f64
     # (f32 dots suffer catastrophic cancellation with strong preconditioners)
     jax.config.update("jax_enable_x64", True)
-    try:  # persistent compile cache: the 3D conv kernels compile slowly cold
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(HERE, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    _setup_cache()
     from poroelasticity_dealii_tpu.config import read_input_file
     from poroelasticity_dealii_tpu.solvers import FixedStressSolver
     from poroelasticity_dealii_tpu.solvers.structured import \
@@ -87,10 +95,11 @@ class MeasureResult(NamedTuple):
     scanned: float | None     # min-of-CHAIN_REPS fused-scan s/step
     chained_reps: list        # every chained rep (s/step), for the JSON
     scanned_reps: list
+    mech_cg: list = ()        # per-step mech iterations (diagnostics pass)
 
 
 def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag="",
-            scan=False, chain_reps=CHAIN_REPS):
+            scan=False, chain_reps=CHAIN_REPS, assert_converged=False):
     """Average ms/step.  ``bc_rate`` > 0 ramps the Dirichlet loading by
     that fraction per step (``bc_scale = 1 + bc_rate * step``) — the
     evolving-mechanics regime where the displacement system must re-solve
@@ -142,6 +151,13 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag="",
         # the point of the evolving regime: mechanics does real work
         assert all(c > 0 for c in mech_cg), \
             f"evolving-regime bench degenerated: mech CG = {mech_cg}"
+    if assert_converged:
+        # a capped (non-converging) mechanics solve would make ms/step a
+        # measurement of the iteration CAP, not of solver speed (round-4
+        # catch: 512^2 Jacobi-CG hit the 1000 cap every step)
+        cap = data.cg_max_iterations
+        assert all(c < cap for c in mech_cg), \
+            f"mechanics solve hit the {cap}-iteration cap: {mech_cg}"
     # throughput pass: steps chained with one final sync — the production
     # host loop does not block per step (JAX async dispatch; logging reads
     # stats behind the device).  The ONE final block_until_ready costs a
@@ -207,7 +223,7 @@ def measure(data, solver, n_steps=N_MEASURED_STEPS, bc_rate=0.0, tag="",
               f"{'/'.join(f'{s*1e3:.1f}' for s in scanned_reps)} ms/step "
               f"(min of {chain_reps})", file=sys.stderr)
     return MeasureResult(chained, sum(times) / len(times), scanned,
-                         chained_reps, scanned_reps)
+                         chained_reps, scanned_reps, mech_cg)
 
 
 def _op_models(data, disc):
@@ -409,6 +425,7 @@ def build_x64(cells=CELLS_PER_AXIS, elasticity_backend=None, platform=None):
     if platform:
         jax.config.update("jax_platforms", platform)
     jax.config.update("jax_enable_x64", True)
+    _setup_cache()
     data = read_input_file(os.path.join(HERE, "configs/consolidation_3d.data"))
     data = dataclasses.replace(
         data, dtype="float64",
@@ -468,6 +485,7 @@ def build_2d(cells=CELLS_2D, elasticity_backend=None):
     2D runs take the conv-stencil path (the Pallas row kernel is 3D-Q2)."""
     import jax
     jax.config.update("jax_enable_x64", True)
+    _setup_cache()
     from poroelasticity_dealii_tpu.config import read_input_file
     from poroelasticity_dealii_tpu.solvers import FixedStressSolver
     from poroelasticity_dealii_tpu.solvers.structured import \
@@ -486,8 +504,14 @@ def build_2d(cells=CELLS_2D, elasticity_backend=None):
         mech_cg_tol=1e-5, mech_cg_relative=True,
         pressure_cg_tol=1e-5, projection_cg_tol=1e-5)
     t0 = time.perf_counter()
+    # multigrid AUTO (unlike the 3D bench's measured "off"): 2D has no
+    # Pallas row-CG, and plain Jacobi-CG on the 2.1M-DOF Q2 elasticity
+    # system hits the 1000-iteration cap every step (round-4 catch: the
+    # bench was timing the cap, 8.35 s/step of non-converging CG).  The
+    # 2D V-cycle compiles cheaply and Richardson-GMG converges in a few
+    # iterations per solve.
     disc = build_grid_discretization(data, cells_per_axis=cells,
-                                     multigrid="off",
+                                     multigrid="auto",
                                      elasticity_backend=elasticity_backend)
     solver = FixedStressSolver(disc, data)
     n_dofs = disc.n_pdofs + disc.n_udofs
@@ -498,9 +522,9 @@ def build_2d(cells=CELLS_2D, elasticity_backend=None):
 
 def measure_2d(cells=CELLS_2D, elasticity_backend=None):
     data, disc, solver, n_dofs = build_2d(cells, elasticity_backend)
-    res = measure(data, solver, tag="2d ", scan=True)
+    res = measure(data, solver, tag="2d ", scan=True, assert_converged=True)
     res_ev = measure(data, solver, bc_rate=BC_RATE, tag="2d evolving ",
-                     scan=True)
+                     scan=True, assert_converged=True)
     return {
         "cells_per_axis": cells,
         "n_dofs": n_dofs,
@@ -512,7 +536,8 @@ def measure_2d(cells=CELLS_2D, elasticity_backend=None):
         "evolving_scan_ms_per_step": (round(res_ev.scanned * 1e3, 2)
                                       if res_ev.scanned else None),
         "chained_reps_ms": [round(c * 1e3, 2) for c in res.chained_reps],
-        "backend": "conv-stencil (2D)",
+        "mech_iters_per_step": list(res_ev.mech_cg),
+        "backend": "conv-stencil (2D) + GMG-Richardson mechanics",
     }
 
 DETAIL_FILE = os.path.join(HERE, "bench_detail.json")

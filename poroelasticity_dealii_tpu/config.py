@@ -212,12 +212,16 @@ _SCHEMA = {
     # replicates that and 0..dim-1 actually enables it.
     ("TPU", "Gravity direction"): ("-1", _int(-1, 2)),
     ("TPU", "Debug NaNs"): ("false", _str({"true", "false"})),
-    # Elasticity operator backend on structured 3D grids: 'pallas' runs the
+    # Elasticity operator backend on structured grids: 'pallas' runs the
     # mechanics CG in the comp-major row layout through the fused Pallas
-    # kernel (ops/pallas_comp_major.py, TPU only); 'conv' keeps the
-    # XLA-convolution stencil; 'auto' picks pallas when eligible (3D Q2,
-    # equal cells per axis, TPU backend).
-    ("TPU", "Elasticity backend"): ("auto", _str({"auto", "conv", "pallas"})),
+    # kernel (ops/pallas_comp_major.py, 3D Q2, TPU only); 'parity' runs it
+    # in the 2D parity-class layout (ops/parity2d.py, 2D Q2, any backend);
+    # 'conv' keeps the XLA-convolution stencil; 'auto' picks pallas when
+    # eligible (3D Q2, equal cells per axis, TPU backend) and parity when
+    # eligible and the problem is large enough to matter (2D Q2, equal
+    # cells, >= 150k displacement dofs).
+    ("TPU", "Elasticity backend"): ("auto", _str({"auto", "conv", "pallas",
+                                                  "parity"})),
     # Mechanics CG preconditioner on the row-layout (pallas) path:
     # 'block' couples each node's 3 displacement components through the
     # inverted 3x3 diagonal block of the constrained operator (node-block

@@ -1,0 +1,229 @@
+"""2D parity-resident operator layout — the 2D production mechanics path.
+
+Reference parity: this accelerates the displacement solve of the
+fixed-stress loop (/root/reference/lib/include/PoroElasticDisplacementSolver.h)
+and its coupling/projection RHS assembly on 2D structured grids; only the
+DOF-vector layout and execution strategy change, not the operator.
+
+Why (round 4): the reference is practically a 2D code (the well term
+asserts dim == 2, /root/reference/lib/include/right_hand_side.h:104), but
+the repo's flagship speed existed only in 3D (Pallas row kernel).  In 2D
+the conv-pair apply runs at ~2 GB/s on TPU (8.6 ms per 2.1M-DOF Q2
+elasticity apply at 512^2 — tiny conv channel counts), and the per-apply
+parity-matmul reformulation only reached 2.7 GB/s because its
+interleave/de-interleave dominates (stage attribution: 3.87 ms gather,
+0.065 ms einsum, scripts/apply2d_ab.py).  The fix is the same design as
+the 3D production path (ops/pallas_comp_major.ElasticityRowOps): make the
+de-interleaved layout a PERSISTENT dof-vector format so a whole CG solve
+runs inside it and the interleave cost is paid once per solve, not per
+apply.
+
+The layout ("parity" classes, degree 2):
+    node index along an axis is i = 2*cell + o with offset o in {0, 1, 2};
+    offsets 0/2 share parity class 0 (length n+1), offset 1 is class 1
+    (length n, zero-padded to n+1).  A flat x-fastest comp-interleaved
+    vector becomes a ``(nc, 2, 2, n+1, n+1)`` array
+    ``Xp[c, oy, ox, iy, ix] = x[((2*iy+oy)*gx + (2*ix+ox))*nc + c]``.
+
+In this layout every per-cell local-node gather is a CONTIGUOUS slice of a
+class array, the whole FLOP volume of an operator apply is ONE
+(N_out, N_in) x (N_in, n_cells) einsum on the MXU, and the scatter back is
+a per-class pad+add.  ``to_parity``/``from_parity`` are zero-padded
+bijective linear layout maps, so dots, axpys, norms and elementwise masks
+computed in parity layout equal their flat counterparts exactly — the same
+contract as the 3D row layout (pallas_comp_major.ElasticityRowOps).
+
+Pure XLA — works on any backend (CPU tests run it), no Pallas needed: the
+einsum is MXU-shaped already and the slices/pads are contiguous.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .shape import node_lattice
+
+
+def _comp_major(M: np.ndarray, nci: int, nco: int) -> np.ndarray:
+    """Reorder an element matrix from interleaved (node*nc + c) indexing to
+    comp-major (c*n_nodes + node) on both sides."""
+    n_in = M.shape[1] // nci
+    n_out = M.shape[0] // nco
+    cols = np.array([node * nci + c
+                     for c in range(nci) for node in range(n_in)])
+    rows = np.array([node * nco + c
+                     for c in range(nco) for node in range(n_out)])
+    return np.asarray(M, np.float64)[np.ix_(rows, cols)]
+
+
+def _cls_start(o: int):
+    """Axis offset o in {0,1,2} -> (parity class, slice start)."""
+    return (o, 0) if o < 2 else (0, 1)
+
+
+def to_parity(x, n: int, nc: int):
+    """Flat x-fastest comp-interleaved vector -> (nc, 2, 2, n+1, n+1).
+
+    ONE pad + ONE reshape + ONE transpose: XLA's native TPU transpose
+    kernel eats this at memory speed (0.005 ms roundtrip at 512^2 on v5e),
+    where the equivalent strided-slice / per-class-stack formulation costs
+    11.5 ms (measured, scripts/parity2d_probe.py + /tmp probe round 4) —
+    the single most important implementation choice in this module."""
+    g, n1 = 2 * n + 1, n + 1
+    X = jnp.pad(x.reshape(g, g, nc), ((0, 1), (0, 1), (0, 0)))
+    X = X.reshape(n1, 2, n1, 2, nc)
+    return X.transpose(4, 1, 3, 0, 2)
+
+
+def from_parity(Xp, n: int, nc: int):
+    """Exact inverse of :func:`to_parity` (drops the zero padding)."""
+    g, n1 = 2 * n + 1, n + 1
+    X = Xp.transpose(3, 1, 4, 2, 0).reshape(2 * n1, 2 * n1, nc)
+    return X[:g, :g].reshape(-1)
+
+
+def _gather_q2(Xp, n: int, nc: int, lat):
+    """Parity array -> per-cell operand (nc * 9, n*n): 9 contiguous
+    slices, stacked comp-major."""
+    pieces = []
+    for node in range(9):
+        (cy, sy), (cx, sx) = _cls_start(int(lat[node, 1])), \
+            _cls_start(int(lat[node, 0]))
+        pieces.append(Xp[:, cy, cx, sy:sy + n, sx:sx + n])
+    return jnp.stack(pieces, 1).reshape(nc * 9, n * n)
+
+
+def _scatter_q2(Ye, n: int, nc: int, lat):
+    """Per-cell results (nc, 9, n, n) -> parity array: pad+add per class."""
+    acc = [[None, None], [None, None]]
+    for node in range(9):
+        (cy, sy), (cx, sx) = _cls_start(int(lat[node, 1])), \
+            _cls_start(int(lat[node, 0]))
+        P = jnp.pad(Ye[:, node], ((0, 0), (sy, 1 - sy), (sx, 1 - sx)))
+        acc[cy][cx] = P if acc[cy][cx] is None else acc[cy][cx] + P
+    return jnp.stack([jnp.stack(r, 1) for r in acc], 1)
+
+
+def make_apply_parity(element_matrix: np.ndarray, n: int, nc: int,
+                      dtype=jnp.float32,
+                      precision=lax.Precision.HIGHEST):
+    """Unconstrained Q2->Q2 operator apply, parity -> parity."""
+    lat = node_lattice(2, 2)
+    Kr = jnp.asarray(_comp_major(element_matrix, nc, nc), dtype)
+
+    def apply_p(Xp):
+        U = _gather_q2(Xp, n, nc, lat)
+        Ye = jnp.einsum("oi,ie->oe", Kr, U, precision=precision)
+        return _scatter_q2(Ye.reshape(nc, 9, n, n), n, nc, lat)
+
+    return apply_p
+
+
+def make_coupling_parity(coupling_matrix: np.ndarray, n: int, nc: int,
+                         dtype=jnp.float32,
+                         precision=lax.Precision.HIGHEST):
+    """p (flat Q1 scalar grid) -> coupling RHS directly in parity layout.
+
+    The Q1 input grid needs no parity split: the 4 local-node gathers are
+    already contiguous slices of the (n+1, n+1) node grid."""
+    lat_u = node_lattice(2, 2)
+    lat_p = node_lattice(1, 2)
+    Cr = jnp.asarray(_comp_major(coupling_matrix, 1, nc), dtype)
+    g1 = n + 1
+
+    def coupling_p(p):
+        P = p.reshape(g1, g1)
+        pieces = [P[int(lat_p[i, 1]):int(lat_p[i, 1]) + n,
+                    int(lat_p[i, 0]):int(lat_p[i, 0]) + n]
+                  for i in range(4)]
+        U = jnp.stack(pieces, 0).reshape(4, n * n)
+        Ye = jnp.einsum("oi,ie->oe", Cr, U, precision=precision)
+        return _scatter_q2(Ye.reshape(nc, 9, n, n), n, nc, lat_u)
+
+    return coupling_p
+
+
+def make_projection_parity(projection_matrix: np.ndarray, n: int, nc: int,
+                           dtype=jnp.float32,
+                           precision=lax.Precision.HIGHEST):
+    """u (parity) -> strain-projection RHS (C, n_pdofs), all Voigt entries
+    in one einsum (the one-sweep all-Voigt RHS of solvers/fss.py)."""
+    lat_u = node_lattice(2, 2)
+    lat_p = node_lattice(1, 2)
+    C = projection_matrix.shape[0] // 4
+    Pr = jnp.asarray(_comp_major(projection_matrix, nc, C), dtype)
+    g1 = n + 1
+
+    def projection_p(Xp):
+        U = _gather_q2(Xp, n, nc, lat_u)
+        Ye = jnp.einsum("oi,ie->oe", Pr, U, precision=precision)
+        Ye = Ye.reshape(C, 4, n, n)
+        acc = None
+        for i in range(4):
+            oy, ox = int(lat_p[i, 1]), int(lat_p[i, 0])
+            Pd = jnp.pad(Ye[:, i], ((0, 0), (oy, 1 - oy), (ox, 1 - ox)))
+            acc = Pd if acc is None else acc + Pd
+        return acc.reshape(C, g1 * g1)
+
+    return projection_p
+
+
+@dataclasses.dataclass(frozen=True)
+class ElasticityParityOps:
+    """Parity layout as a persistent DOF-vector format — duck-types
+    :class:`ops.pallas_comp_major.ElasticityRowOps` (same attribute and
+    method names), so the fss.py production rows plumbing (in-rows RHS
+    assembly, rows-resident CG, rows projection RHS) runs unchanged on 2D
+    grids."""
+    n: int
+    apply_rows: object            # unconstrained K: parity -> parity
+    to_rows: object               # flat (n_udofs,) -> (nc, 2, 2, n+1, n+1)
+    from_rows: object
+    free_mask_rows: jnp.ndarray   # Dirichlet mask in parity (padding = 0)
+    diag_rows: jnp.ndarray        # Jacobi diagonal in parity (padding = 1)
+    coupling_rows: object = None
+    projection_rows: object = None
+    fused_constrained: object = None   # no fused kernels: pure XLA fuses
+    fused_free: object = None
+    block_precond: object = None
+
+    def constrained_apply(self, x):
+        m = self.free_mask_rows
+        y = self.apply_rows(x * m)
+        return y * m + x * (1.0 - m)
+
+    def free_apply(self, x):
+        """``m * A(x)`` for x already in the free subspace (zero at
+        constrained entries/padding) — one mask pass cheaper per CG
+        iteration than :meth:`constrained_apply` (same invariant argument
+        as the 3D row layout)."""
+        return self.apply_rows(x) * self.free_mask_rows
+
+
+def make_parity_ops(element_matrix: np.ndarray, n: int, free_mask_u,
+                    diag_elasticity, dtype=jnp.float32,
+                    coupling_matrix: np.ndarray = None,
+                    projection_matrix: np.ndarray = None,
+                    nc: int = 2) -> ElasticityParityOps:
+    """Build the persistent-parity-layout elasticity solve kit for a 2D
+    structured Q2 grid (``n`` cells per axis)."""
+    apply_p = make_apply_parity(element_matrix, n, nc, dtype)
+    t = jax.jit(lambda x: to_parity(x, n, nc))
+    f = jax.jit(lambda r: from_parity(r, n, nc))
+    mask_p = t(jnp.asarray(free_mask_u, dtype))
+    ones_p = t(jnp.ones_like(jnp.asarray(diag_elasticity, dtype)))
+    diag_p = t(jnp.asarray(diag_elasticity, dtype)) + (1.0 - ones_p)
+    cr = (make_coupling_parity(coupling_matrix, n, nc, dtype)
+          if coupling_matrix is not None else None)
+    pr = (make_projection_parity(projection_matrix, n, nc, dtype)
+          if projection_matrix is not None else None)
+    return ElasticityParityOps(n=n, apply_rows=apply_p, to_rows=t,
+                               from_rows=f, free_mask_rows=mask_p,
+                               diag_rows=diag_p, coupling_rows=cr,
+                               projection_rows=pr)

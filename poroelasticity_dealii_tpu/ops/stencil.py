@@ -120,6 +120,15 @@ def make_stencil_apply(element_matrix: np.ndarray, k_in: int, k_out: int,
     ns = (n_cells,) * dim if np.ndim(n_cells) == 0 else tuple(n_cells)
     if k_in == k_out == 1 and n_comp_in == n_comp_out == 1:
         return _make_q1_slices_apply(element_matrix, dim, ns, dtype)
+    if dim == 2:
+        # 2D: the tiny-channel convs run at a few percent of attainable on
+        # TPU (measured 8.35 ms per 2.1M-DOF Q2 elasticity apply at 512^2
+        # — ~7 us of data movement); the parity-matmul formulation below
+        # is the same algorithm as the 3D Pallas row kernel (one
+        # N_in-contraction MXU pass per apply) in pure XLA
+        return _make_parity_matmul_apply(element_matrix, k_in, k_out,
+                                         n_comp_in, n_comp_out, dim, ns,
+                                         dtype, precision)
     gs_in = tuple(k_in * n + 1 for n in ns)
     wg = jnp.asarray(_to_kernel(element_matrix, n_comp_in, k_in, dim),
                      dtype=dtype)
@@ -174,5 +183,98 @@ def _make_q1_slices_apply(element_matrix: np.ndarray, dim: int, ns, dtype):
             P = jnp.pad(V, pad_width(off))
             Y = P if Y is None else Y + P
         return Y.reshape(-1)
+
+    return apply
+
+
+def _make_parity_matmul_apply(element_matrix: np.ndarray, k_in: int,
+                              k_out: int, nci: int, nco: int, dim: int, ns,
+                              dtype, precision=lax.Precision.HIGHEST):
+    """Operator apply as ONE N_in-contraction matmul over all cells.
+
+    The same algorithm as the 3D Pallas row kernel (ops/pallas_comp_major,
+    "one 81-contraction MXU pass") in pure XLA, for the spaces/dims the
+    Pallas kernel does not cover (2D, mixed-degree coupling/projection):
+
+    1. de-interleave the node grid into degree-parity subgrids with ONE
+       pad+reshape per axis (node i = k*cell + o; class o=0 length n+1,
+       classes 1..k-1 length n) — every local-node gather then becomes a
+       CONTIGUOUS slice, no strided slicing, no tiny-channel convs;
+    2. assemble the per-cell operand U (N_in, cells...) from those slices
+       and issue one (N_out, N_in) x (N_in, E) einsum — the entire FLOP
+       volume of the apply in a single MXU pass;
+    3. scatter back by accumulating per parity class (pad+add, as the Q1
+       slices path) and re-interleaving with one stack+reshape per axis.
+
+    Layout contract identical to the conv pair: flat x-fastest dof vector,
+    comps interleaved.  Verified bit-consistent with the conv path by
+    tests/test_structured.py (same element matrices, tolerance-level
+    equality — the summation order differs)."""
+    K = np.asarray(element_matrix, np.float64)
+    n_nodes_in = K.shape[1] // nci
+    n_nodes_out = K.shape[0] // nco
+    lat_in = node_lattice(k_in, dim)              # (n_nodes, dim) x-first
+    lat_out = node_lattice(k_out, dim)
+    # reorder to comp-major rows/cols: r_new = comp * n_nodes + node
+    cols = np.array([node * nci + c
+                     for c in range(nci) for node in range(n_nodes_in)])
+    rows = np.array([node * nco + c
+                     for c in range(nco) for node in range(n_nodes_out)])
+    Kr = jnp.asarray(K[np.ix_(rows, cols)], dtype)
+    rev_ns = tuple(reversed(ns))                  # cells per axis (z, y, x)
+    gs_in = tuple(k_in * n + 1 for n in rev_ns)
+    g_out = tuple(k_out * n + 1 for n in rev_ns)
+
+    def apply(x):
+        # comp-first grid (nci, z, y, x)
+        X = jnp.moveaxis(x.reshape(*gs_in, nci), -1, 0)
+        # de-interleave every spatial axis: (nci, nz+1, k, ny+1, k, ...)
+        Xd = X
+        for a in range(dim):
+            ax = 1 + 2 * a                        # spatial axis position
+            pad = [(0, 0)] * Xd.ndim
+            pad[ax] = (0, k_in - 1)               # k*n+1 -> k*(n+1)
+            Xd = jnp.pad(Xd, pad).reshape(
+                Xd.shape[:ax] + (rev_ns[a] + 1, k_in) + Xd.shape[ax + 1:])
+        pieces = []
+        for node in range(n_nodes_in):
+            idx = [slice(None)]                   # comp axis
+            for a in range(dim):                  # z .. x
+                o = int(lat_in[node, dim - 1 - a])
+                cls, start = (o, 0) if o < k_in else (0, 1)
+                idx += [slice(start, start + rev_ns[a]), cls]
+            pieces.append(Xd[tuple(idx)])         # (nci, nz, ny, nx)
+        U = jnp.stack(pieces, axis=1).reshape(nci * n_nodes_in, *rev_ns)
+        Ye = jnp.einsum("oi,i...->o...", Kr, U, precision=precision)
+        Ye = Ye.reshape(nco, n_nodes_out, *rev_ns)
+        # accumulate per out parity class (class 0 takes offsets 0 AND k)
+        combos: dict = {}
+        for node in range(n_nodes_out):
+            pads = [(0, 0)]                       # comp axis
+            cls = []
+            for a in range(dim):
+                o = int(lat_out[node, dim - 1 - a])
+                if o < k_out:
+                    cls.append(o)
+                    pads.append((0, 1))
+                else:
+                    cls.append(0)
+                    pads.append((1, 0))
+            P = jnp.pad(Ye[:, node], pads)        # (nco, nz+1, .., nx+1)
+            key = tuple(cls)
+            combos[key] = combos[key] + P if key in combos else P
+        # re-interleave axis by axis, innermost (x) first
+        for a in reversed(range(dim)):
+            new = {}
+            for key in {k[:a] for k in combos}:
+                S = jnp.stack([combos[key + (c,)] for c in range(k_out)],
+                              axis=a + 2)         # right after axis a's n+1
+                S = S.reshape(S.shape[:a + 1]
+                              + ((rev_ns[a] + 1) * k_out,) + S.shape[a + 3:])
+                idx = [slice(None)] * (a + 1) + [slice(0, g_out[a])]
+                new[key] = S[tuple(idx)]
+            combos = new
+        Z = combos[()]                            # (nco, gz, gy, gx)
+        return jnp.moveaxis(Z, 0, -1).reshape(-1)
 
     return apply

@@ -159,6 +159,10 @@ def shard_production_discretization(disc, device_mesh):
         raise ValueError(
             "production sharding needs row_ops (3D Q2 equal-axis grid with "
             "elasticity_backend='pallas' or TPU auto)")
+    if len(disc.info_u.cells_per_axis) != 3:
+        raise NotImplementedError(
+            "production (rows) sharding is 3D-only; 2D parity-layout grids "
+            "shard via the psum/gspmd/ghost decompositions")
     base = shard_grid_discretization(disc, device_mesh)  # stencils + hook
     interpret = jax.default_backend() != "tpu"
     n = disc.info_u.cells_per_axis[0]

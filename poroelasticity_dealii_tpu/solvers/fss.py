@@ -441,11 +441,39 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
             bp = (row_ops.block_precond
                   if getattr(data, "mech_precond", "jacobi") == "block"
                   else None)
+            # 2D parity path: GMG V-cycle with parity-resident smoothers
+            # (structured.py builds it — 2D production sizes are ~10x more
+            # cells per axis than 3D, so Jacobi row-CG alone hits the
+            # iteration cap; preconditioned Richardson for the same
+            # f32 p.Ap-noise reason as the flat GMG path below)
+            gmg_rows = getattr(d, "gmg_precond_rows", None)
 
             def solve(b, x0, unchanged):
                 tol = jnp.asarray(data.mech_cg_tol, d.dtype)
                 if data.mech_cg_relative:
                     tol = tol * jnp.linalg.norm(b)
+                if gmg_rows is not None:
+                    if d.dtype == jnp.float32:
+                        # f32 + strong operator preconditioner: Richardson
+                        # (same p.Ap-noise rationale as the flat GMG path
+                        # below)
+                        from .cg import richardson_solve
+                        return richardson_solve(row_ops.constrained_apply,
+                                                b, x0, gmg_rows,
+                                                skip_tol(tol, unchanged),
+                                                data.cg_max_iterations)
+                    # f64: preconditioned CG.  NOT Richardson — the
+                    # reference's absolute tolerances (1e-12) sit below
+                    # the f64 TRUE-residual floor of b - A x (~1e-8 at
+                    # GPa stiffness scales), which deal.II's SolverCG
+                    # never sees because it checks the RECURRED residual;
+                    # cg_solve matches those semantics, while Richardson
+                    # recomputes the true residual and honestly stalls.
+                    return cg_solve(row_ops.constrained_apply, b, x0,
+                                    row_ops.diag_rows,
+                                    tol=skip_tol(tol, unchanged),
+                                    max_iter=data.cg_max_iterations,
+                                    precond=gmg_rows)
                 # per-iteration applies use the v4 free-subspace kernel
                 # (m*A(p), no input mask): b/x0 carry the Dirichlet values
                 # so every CG direction is exactly zero at constrained

@@ -217,6 +217,15 @@ class _Level:
     lmax: float
     prolong: Callable = None   # from next-coarser level to this one
     restrict: Callable = None  # from this level to next-coarser
+    # optional resident layout (2D parity): the smoother sweeps run inside
+    # the layout, conversions happen at the level boundary — at 512^2 the
+    # per-apply interleave dominates the conv/parity-matmul applies
+    # (scripts/apply2d_ab.py stage attribution), so a degree-3 Chebyshev
+    # pays 1 conversion pair per level visit instead of per apply
+    lto: Callable = None       # flat -> layout
+    lfrom: Callable = None     # layout -> flat
+    apply_l: Callable = None   # Dirichlet-masked apply, layout -> layout
+    inv_diag_l: jnp.ndarray = None
 
 
 def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
@@ -224,7 +233,8 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
               degree: int, n_comp: int,
               free_mask_fn: Callable,
               smoother_degree: int = 3, smoother_precision=None,
-              lower=None, upper=None, cycle: int = 1):
+              lower=None, upper=None, cycle: int = 1,
+              parity_layout: bool = False):
     """Build a V-cycle preconditioner for a Q_degree operator on an
     ``n_fine``-cells-per-axis structured grid.
 
@@ -277,8 +287,28 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
                   np.broadcast_to(np.abs(Ke).sum(axis=1),
                                   (conn.shape[0], n_local)).reshape(-1))
         lmax = float(np.max(np.where(free_np, rowsum_np / diag_np, 1.0)))
-        levels.append(_Level(n_cells=n, apply=apply, inv_diag=inv_diag,
-                             free_mask=free, lmax=lmax))
+        lev = _Level(n_cells=n, apply=apply, inv_diag=inv_diag,
+                     free_mask=free, lmax=lmax)
+        if parity_layout and l < len(sizes) - 1:
+            # resident 2D parity layout for this level's smoother (the
+            # coarsest level keeps the flat dense solve)
+            if dim != 2 or degree != 2:
+                raise NotImplementedError(
+                    "parity_layout is 2D Q2 only; got "
+                    f"dim={dim}, degree={degree}")
+            from ..ops.parity2d import (from_parity, make_apply_parity,
+                                        to_parity)
+            raw_l = make_apply_parity(Ke, n, n_comp, dtype, precision=prec)
+            mask_l = to_parity(free, n, n_comp)
+
+            def apply_l(xp, _r=raw_l, _m=mask_l):
+                return _m * _r(xp * _m) + (1.0 - _m) * xp
+
+            lev.apply_l = apply_l
+            lev.inv_diag_l = to_parity(inv_diag, n, n_comp)
+            lev.lto = (lambda v, _n=n, _c=n_comp: to_parity(v, _n, _c))
+            lev.lfrom = (lambda v, _n=n, _c=n_comp: from_parity(v, _n, _c))
+        levels.append(lev)
         if l > 0 and degree == 1 and n_comp == 1:
             # scalar Q1: transfers are exact nodal interpolation / its
             # exact transpose — no convs, no multiplicity normalization
@@ -372,11 +402,29 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
 
     deg = smoother_degree
 
-    def vcycle(l, r):
+    def vcycle(l, r, r_in_layout=False):
         lev = levels[l]
         if l == len(levels) - 1:
             return coarse_solve(r)
         lmin = lev.lmax / 8.0   # smooth the upper spectrum only
+        if lev.apply_l is not None:
+            # resident-layout level: both smoother sweeps and their
+            # residuals run inside the layout; only the transfer operands
+            # cross the boundary (dots/axpys are layout-exact, see
+            # ops/parity2d.py)
+            rp = r if r_in_layout else lev.lto(r)
+            x = chebyshev_smooth(lev.apply_l, lev.inv_diag_l, rp, deg,
+                                 lev.lmax, lmin)
+            rc = lev.restrict(lev.lfrom(rp - lev.apply_l(x)))
+            xc = vcycle(l + 1, rc)
+            nxt = levels[l + 1]
+            for _ in range(cycle - 1):
+                xc = xc + vcycle(l + 1, rc - nxt.apply(xc))
+            x = x + lev.lto(lev.prolong(xc))
+            x = x + chebyshev_smooth(lev.apply_l, lev.inv_diag_l,
+                                     rp - lev.apply_l(x), deg, lev.lmax,
+                                     lmin)
+            return x if r_in_layout else lev.lfrom(x)
         x = chebyshev_smooth(lev.apply, lev.inv_diag, r, deg, lev.lmax, lmin)
         rc = lev.restrict(r - lev.apply(x))
         # cycle=1: V-cycle; cycle=2: W-cycle (re-residualized recursion —
@@ -392,6 +440,14 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
 
     def precond(r):
         return vcycle(0, r)
+
+    if levels[0].apply_l is not None:
+        # layout-resident entry point (2D parity mechanics: the rows-layout
+        # Richardson solve preconditions without leaving parity layout)
+        def precond_rows(rp):
+            return vcycle(0, rp, r_in_layout=True)
+
+        precond.rows = precond_rows
 
     return precond, levels
 
@@ -419,7 +475,8 @@ def _uniform_cell_space(data: InputData, n: int, degree: int,
 def build_gmg_elasticity(data: InputData, n_fine: int, n_levels: int,
                          dtype, displacement_degree: int = 2,
                          smoother_degree: int = 3,
-                         lower=None, upper=None, smoother_precision=None):
+                         lower=None, upper=None, smoother_precision=None,
+                         parity_layout: bool = False):
     """V-cycle for the Dirichlet-masked Q2 elasticity operator."""
     if displacement_degree != 2:
         raise NotImplementedError("GMG transfer assumes Q2 displacement")
@@ -437,7 +494,7 @@ def build_gmg_elasticity(data: InputData, n_fine: int, n_levels: int,
     return build_gmg(data, n_fine, n_levels, dtype, emat, 2, dim, fmask,
                      smoother_degree=smoother_degree,
                      smoother_precision=smoother_precision,
-                     lower=lower, upper=upper)
+                     lower=lower, upper=upper, parity_layout=parity_layout)
 
 
 def build_gmg_pressure(data: InputData, n_fine: int, n_levels: int, dtype,

@@ -314,9 +314,35 @@ def build_grid_discretization(data: InputData,
 
     # ---- Pallas row-layout elasticity (the production mechanics apply) ----
     eb = elasticity_backend or getattr(data, "elasticity_backend", "auto")
-    if eb not in ("auto", "conv", "pallas"):
+    if eb not in ("auto", "conv", "pallas", "parity"):
         raise ValueError(f"unknown elasticity backend {eb!r}")
-    if eb != "conv":
+    if eb not in ("conv", "pallas"):
+        # 2D parity-class layout (ops/parity2d.py): the 2D production
+        # mechanics path — persistent de-interleaved dof layout, one
+        # MXU einsum per apply.  Pure XLA: any backend, any dtype.
+        eligible2d = (dim == 2 and displacement_degree == 2
+                      and pressure_degree == 1
+                      and len(set(cells_per_axis)) == 1)
+        if eb == "parity" and not eligible2d:
+            raise NotImplementedError(
+                "parity elasticity backend needs a 2D Q2/Q1 space with "
+                f"equal cells per axis; got dim={dim}, degree="
+                f"{displacement_degree}/{pressure_degree}, "
+                f"cells={cells_per_axis}")
+        # auto: only at production sizes — below ~150k dofs plain conv
+        # Jacobi-CG converges fine and the pinned golden histories stay
+        # bit-for-bit on the conv path (same threshold philosophy as
+        # _gmg_levels)
+        if eligible2d and (eb == "parity"
+                           or (eb == "auto"
+                               and d.n_udofs >= PARITY_AUTO_MIN_UDOFS)):
+            from ..ops.parity2d import make_parity_ops
+            d.row_ops = make_parity_ops(
+                np.asarray(Ke, np.float64), cells_per_axis[0],
+                d.free_mask_u, d.diag_elasticity, dtype=d.dtype,
+                coupling_matrix=np.asarray(Ce, np.float64),
+                projection_matrix=np.asarray(Pe, np.float64))
+    if eb != "conv" and d.row_ops is None:
         import jax
         eligible = (dim == 3 and displacement_degree == 2
                     and len(set(cells_per_axis)) == 1)
@@ -348,12 +374,18 @@ def build_grid_discretization(data: InputData,
     # ---- geometric multigrid for the elasticity solve --------------------
     # (isotropic cell counts only: the V-cycle hierarchy coarsens all axes
     # together; anisotropic grids fall back to the Jacobi/Richardson path)
-    # With the Pallas row-layout CG available, 'auto' skips elasticity GMG:
-    # warm-started row-CG at ~0.6 ms/apply beats GMG-Richardson (~59 ms per
-    # 0.25-contraction V-cycle at 40^3 f32) at production tolerances, and
-    # the 40^3 V-cycle costs ~10 min of XLA compile (docs/VALIDATION.md
-    # ablation).  'on' still builds it.
-    if d.row_ops is not None and multigrid == "auto":
+    # With the 3D Pallas row-layout CG available, 'auto' skips elasticity
+    # GMG: warm-started row-CG at ~0.6 ms/apply beats GMG-Richardson
+    # (~59 ms per 0.25-contraction V-cycle at 40^3 f32) at production
+    # tolerances, and the 40^3 V-cycle costs ~10 min of XLA compile
+    # (docs/VALIDATION.md ablation).  'on' still builds it.
+    # The 2D parity path is the OPPOSITE regime: plain Jacobi-CG does not
+    # converge at production 2D sizes (512^2 hits the 1000-iteration cap —
+    # 2D runs are ~10x more cells per axis than 3D, so ~10x the condition
+    # number), so the parity path builds GMG with parity-RESIDENT level
+    # smoothers and exposes it as gmg_precond_rows.
+    parity_rows = d.row_ops is not None and dim == 2
+    if d.row_ops is not None and multigrid == "auto" and not parity_rows:
         return d
     if len(set(cells_per_axis)) == 1:
         n_levels = _gmg_levels(cells_per_axis[0], dim, u_space.n_nodes * dim,
@@ -362,15 +394,25 @@ def build_grid_discretization(data: InputData,
             from .multigrid import build_gmg_elasticity
             lo = mesh.vertices.min(axis=0)
             hi = mesh.vertices.max(axis=0)
-            precond, _ = build_gmg_elasticity(
+            precond, levels = build_gmg_elasticity(
                 data, n_fine=cells_per_axis[0], n_levels=n_levels,
-                dtype=dtype, lower=lo, upper=hi)
+                dtype=dtype, lower=lo, upper=hi,
+                parity_layout=parity_rows)
             d.gmg_precond = precond
+            if parity_rows:
+                d.gmg_precond_rows = getattr(precond, "rows", None)
     elif multigrid == "on":
         raise NotImplementedError(
             "elasticity GMG needs equal cells per axis; got "
             f"{cells_per_axis}")
     return d
+
+
+# 'auto' switches the 2D mechanics solve to the parity-resident layout
+# only at sizes where conv Jacobi-CG stops being competitive; below this,
+# small decks (including the pinned golden histories) keep the conv path
+# bit-for-bit.  Same philosophy (and value) as _gmg_levels' auto threshold.
+PARITY_AUTO_MIN_UDOFS = 150_000
 
 
 def _gmg_levels(n: int, dim: int, n_dofs: int, multigrid: str,
