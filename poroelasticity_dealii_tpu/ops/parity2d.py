@@ -67,6 +67,20 @@ def _cls_start(o: int):
     return (o, 0) if o < 2 else (0, 1)
 
 
+def to_parity_np(x, n: int, nc: int) -> np.ndarray:
+    """Numpy :func:`to_parity` for SETUP-time constants (masks, diagonals).
+
+    Eagerly calling the jnp version at build time costs one XLA compile per
+    distinct shape on the accelerator (~2 s each through the TPU tunnel,
+    and below the persistent-cache 5 s threshold so never cached) — the
+    round-4 GMG construction storm.  Setup constants are host data anyway."""
+    g, n1 = 2 * n + 1, n + 1
+    X = np.pad(np.asarray(x, np.float64).reshape(g, g, nc),
+               ((0, 1), (0, 1), (0, 0)))
+    X = X.reshape(n1, 2, n1, 2, nc)
+    return np.ascontiguousarray(X.transpose(4, 1, 3, 0, 2))
+
+
 def to_parity(x, n: int, nc: int):
     """Flat x-fastest comp-interleaved vector -> (nc, 2, 2, n+1, n+1).
 
@@ -216,9 +230,11 @@ def make_parity_ops(element_matrix: np.ndarray, n: int, free_mask_u,
     apply_p = make_apply_parity(element_matrix, n, nc, dtype)
     t = jax.jit(lambda x: to_parity(x, n, nc))
     f = jax.jit(lambda r: from_parity(r, n, nc))
-    mask_p = t(jnp.asarray(free_mask_u, dtype))
-    ones_p = t(jnp.ones_like(jnp.asarray(diag_elasticity, dtype)))
-    diag_p = t(jnp.asarray(diag_elasticity, dtype)) + (1.0 - ones_p)
+    # setup constants in numpy (to_parity_np): no eager device compiles
+    mask_p = jnp.asarray(to_parity_np(free_mask_u, n, nc), dtype)
+    ones_p = to_parity_np(np.ones(np.asarray(diag_elasticity).shape), n, nc)
+    diag_p = jnp.asarray(
+        to_parity_np(diag_elasticity, n, nc) + (1.0 - ones_p), dtype)
     cr = (make_coupling_parity(coupling_matrix, n, nc, dtype)
           if coupling_matrix is not None else None)
     pr = (make_projection_parity(projection_matrix, n, nc, dtype)

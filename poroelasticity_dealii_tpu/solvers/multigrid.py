@@ -115,6 +115,34 @@ def _parity_embedding_matrices(dim: int, degree: int, n_comp: int):
     return np.stack(mats)
 
 
+def _prolong_multiplicity_np(E: np.ndarray, fine_conn: np.ndarray,
+                             nf: int, dim: int, n_comp: int,
+                             n_fine_dofs: int) -> np.ndarray:
+    """``raw_p(ones)`` (the per-fine-dof prolongation multiplicity) computed
+    host-side: scatter the row-sums of the parity embedding matrices through
+    the fine-space connectivity.
+
+    Replaces the eager-jnp evaluation in :func:`build_gmg`, which cost
+    ~8-12 XLA compiles PER LEVEL on the accelerator at setup (~2 s each
+    through the TPU tunnel, all below the 5 s persistent-cache threshold —
+    the round-4 "147 compiles / 300 s" GMG construction storm at 512^2).
+    Bit-for-bit validated against the jnp path for 2D/3D, scalar/vector
+    (tests/test_multigrid.py::test_multiplicity_numpy_matches_device).
+
+    Conventions (mesh/structured.py): fine cells are x-fastest
+    lexicographic; parity bit d of a fine cell = (coord along axis d) % 2
+    with x = bit 0, matching ``_parity_embedding_matrices``."""
+    rowsum = E.sum(axis=2)                        # (2^dim, n_local)
+    e = np.arange(nf ** dim)
+    s = np.zeros(nf ** dim, dtype=np.int64)
+    for d in range(dim):
+        s |= ((e // nf ** d) % 2) << d
+    out = np.zeros(n_fine_dofs)
+    np.add.at(out, fine_conn.astype(np.int64).reshape(-1),
+              rowsum[s].reshape(-1))
+    return out
+
+
 def _deinterleave_parities(v, dim: int, nc: int):
     """(CH, (2nc)^dim) fine-cell array -> (2^dim, CH, nc^dim) per parity."""
     ch = v.shape[0]
@@ -297,15 +325,18 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
                     "parity_layout is 2D Q2 only; got "
                     f"dim={dim}, degree={degree}")
             from ..ops.parity2d import (from_parity, make_apply_parity,
-                                        to_parity)
+                                        to_parity, to_parity_np)
             raw_l = make_apply_parity(Ke, n, n_comp, dtype, precision=prec)
-            mask_l = to_parity(free, n, n_comp)
+            # setup constants host-side (to_parity_np): zero eager compiles
+            mask_l = jnp.asarray(to_parity_np(free_np.astype(np.float64),
+                                              n, n_comp), dtype)
 
             def apply_l(xp, _r=raw_l, _m=mask_l):
                 return _m * _r(xp * _m) + (1.0 - _m) * xp
 
             lev.apply_l = apply_l
-            lev.inv_diag_l = to_parity(inv_diag, n, n_comp)
+            lev.inv_diag_l = jnp.asarray(
+                to_parity_np(1.0 / diag_np, n, n_comp), dtype)
             lev.lto = (lambda v, _n=n, _c=n_comp: to_parity(v, _n, _c))
             lev.lfrom = (lambda v, _n=n, _c=n_comp: from_parity(v, _n, _c))
         levels.append(lev)
@@ -346,8 +377,13 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
                                     degree, dim, n_comp, _nf,
                                     precision=FULL)
 
-            mult = raw_p(jnp.ones((levels[l].free_mask.shape[0],), dtype))
-            inv_mult = 1.0 / mult
+            # multiplicity host-side (was raw_p(ones) eagerly on device:
+            # the round-4 147-compile setup storm — see
+            # _prolong_multiplicity_np)
+            mult_np = _prolong_multiplicity_np(
+                E, prev_conn, nf, dim, n_comp,
+                levels[l - 1].free_mask.shape[0])
+            inv_mult = jnp.asarray(1.0 / mult_np, dtype)
 
             def raw_r(yf, _Es=Es, _ik=ident_k, _s=scat, _nc=nc, _nf=nf,
                       _gf=g_f):
@@ -372,6 +408,8 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
 
             levels[l - 1].prolong = prolong
             levels[l - 1].restrict = restrict
+        prev_conn = conn          # this level's connectivity: the FINE side
+        #                           of the next level's transfer multiplicity
 
     # coarsest: dense inverse of the masked operator (host, float64)
     n_c = sizes[-1]

@@ -205,3 +205,42 @@ def test_q1_direct_transfers_match_conv_pipeline():
         a = float(jnp.vdot(raw_p(xc), yf))
         b = float(jnp.vdot(xc, raw_r(yf)))
         assert a == pytest.approx(b, rel=1e-13)
+
+
+def test_multiplicity_numpy_matches_device():
+    """The host-side prolongation multiplicity (the round-5 fix for the
+    GMG setup compile storm) is bit-for-bit the eager raw_p(ones) it
+    replaced, for 2D/3D, scalar and vector spaces."""
+    import jax.numpy as jnp
+    from poroelasticity_dealii_tpu.mesh.structured import (
+        build_structured_space, structured_mesh)
+    from poroelasticity_dealii_tpu.ops.stencil import (
+        _scatter_kernel, _to_kernel, conv_cellwise, conv_scatter)
+    from poroelasticity_dealii_tpu.solvers.multigrid import (
+        _interleave_parities, _parity_embedding_matrices,
+        _prolong_multiplicity_np)
+
+    for dim, nc, n_comp in ((2, 4, 2), (2, 6, 1), (3, 2, 3), (3, 4, 1)):
+        degree = 2
+        nf = 2 * nc
+        E = _parity_embedding_matrices(dim, degree, n_comp)
+        n_local = ((degree + 1) ** dim) * n_comp
+        ik = jnp.asarray(_to_kernel(np.eye(n_local), n_comp, degree, dim),
+                         jnp.float64)
+        sk = jnp.asarray(_scatter_kernel(n_comp, (degree + 1) ** dim,
+                                         n_comp, degree, dim), jnp.float64)
+        Es = jnp.asarray(E, jnp.float64)
+        g_c = degree * nc + 1
+        xc = jnp.ones((n_comp * g_c ** dim,), jnp.float64)
+        uc = conv_cellwise(xc, ik, degree, dim, n_comp, g_c)
+        ye = jnp.einsum("sab,bE->saE", Es, uc)
+        ye_f = _interleave_parities(ye, dim, nc)
+        device = np.asarray(conv_scatter(ye_f.reshape(ye.shape[1], -1), sk,
+                                         degree, dim, n_comp, nf))
+        mesh = structured_mesh([1.0] * dim, nf)
+        space, _ = build_structured_space(mesh, nf, degree)
+        conn = space.vector_cell_dofs(n_comp) if n_comp > 1 \
+            else space.cell_nodes
+        host = _prolong_multiplicity_np(E, conn, nf, dim, n_comp,
+                                        n_comp * (degree * nf + 1) ** dim)
+        np.testing.assert_allclose(host, device, rtol=1e-13, atol=0.0)
