@@ -78,6 +78,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.devconst import device_const
 from ..ops.shape import node_lattice
 
 try:
@@ -137,6 +138,36 @@ def scalar_rows_np(v: np.ndarray, n: int, fill: float = 0.0) -> np.ndarray:
     R = V.reshape((n + 1) * 8, (n + 1) * (n + 1))
     out = np.full(((n + 1) * 8, W), fill, dtype=np.float64)
     out[:, :R.shape[1]] = R
+    return out
+
+
+def to_rows_np(v, n: int, fill: float = 0.0) -> np.ndarray:
+    """Numpy :func:`to_rows` for SETUP-time constants (masks, diagonals).
+
+    Mirrors :func:`to_rows` exactly but fills phantom nodes and padding
+    lanes with ``fill`` (0 for masks, 1 for diagonals) — computing these
+    on device cost one eager XLA compile + transfer per constant per
+    process (the round-4/5 setup-compile storm; see ops/devconst.py).
+    Bit-for-bit vs the device path:
+    tests/test_pallas.py::test_to_rows_np_matches_device."""
+    g = 2 * n + 1
+    W = _width(n)
+    U = np.full((2 * n + 2,) * 3 + (3,), fill, dtype=np.float64)
+    U[:g, :g, :g, :] = np.asarray(v, np.float64).reshape(g, g, g, 3)
+    V = U.reshape(n + 1, 2, n + 1, 2, n + 1, 2, 3)       # zh pz yh py xh px c
+    V = V.transpose(0, 1, 3, 5, 6, 2, 4)                 # zh pz py px c yh xh
+    R = V.reshape((n + 1) * 24, (n + 1) * (n + 1))
+    out = np.full(((n + 1) * 24, W), fill, dtype=np.float64)
+    out[:, :R.shape[1]] = R
+    return out
+
+
+def _lane_mask_np(n: int) -> np.ndarray:
+    """(1, W) cell-lane mask (1 on real cell lanes) as host numpy."""
+    W = _width(n)
+    out = np.zeros((1, W), dtype=np.float64)
+    lanes = np.arange(n * (n + 1))
+    out[0, :n * (n + 1)] = (lanes % (n + 1)) < n
     return out
 
 
@@ -242,7 +273,7 @@ def _slice_params(n: int):
 def cell_lane_mask(n: int, dtype):
     """(n(n+1),) 1 on real cell lanes, 0 on the per-row phantom column."""
     lanes = np.arange(n * (n + 1))
-    return jnp.asarray((lanes % (n + 1)) < n, dtype)
+    return device_const((lanes % (n + 1)) < n, dtype)
 
 
 def _shift_groups(params):
@@ -478,9 +509,8 @@ def make_pallas_apply_rows(element_matrix: np.ndarray, n: int,
     W = _width(n)
     _, perm = _interval_plan(n)
     Kp = np.asarray(element_matrix)[np.ix_(perm, perm)]  # rows AND cols
-    Ke = jnp.asarray(Kp, dtype)
-    mask_row = cell_lane_mask(n, dtype)
-    mask = jnp.zeros((1, W), dtype).at[0, :mask_row.shape[0]].set(mask_row)
+    Ke = device_const(Kp, dtype)
+    mask = device_const(_lane_mask_np(n), dtype)
     tc = min(tc, nz)
     n_blocks = math.ceil(nz / tc)
     zh_pad = n_blocks * tc + 1                          # input z-half layers
@@ -709,21 +739,24 @@ def make_pallas_free_apply(element_matrix: np.ndarray, n: int,
     W = _width(n)
     _, perm = _interval_plan(n)
     Kp = np.asarray(element_matrix)[np.ix_(perm, perm)]
-    Ke = jnp.asarray(Kp, dtype)
-    lane = cell_lane_mask(n, dtype)
-    lmask = jnp.zeros((1, W), dtype).at[0, :lane.shape[0]].set(lane)
+    Ke = device_const(Kp, dtype)
+    lmask = device_const(_lane_mask_np(n), dtype)
     tc = min(tc, n)
     n_blocks = math.ceil(n / tc)
     zh_pad = n_blocks * tc + 1
     kern = partial(_kernel_v4, n=n, tc=tc, W=W, n_blocks=n_blocks)
     pad_rows_n = (zh_pad - (n + 1)) * 24
-    mask_padded = jnp.pad(jnp.asarray(free_mask_rows, dtype),
-                          ((0, pad_rows_n), (0, 0)))
+    if isinstance(free_mask_rows, np.ndarray):   # setup path: pad on host
+        mask_padded = device_const(
+            np.pad(free_mask_rows, ((0, pad_rows_n), (0, 0))), dtype)
+    else:
+        mask_padded = jnp.pad(jnp.asarray(free_mask_rows, dtype),
+                              ((0, pad_rows_n), (0, 0)))
 
     zero1 = lambda k: (jnp.int32(0),)                      # noqa: E731
     zero2 = lambda k: (jnp.int32(0), jnp.int32(0))         # noqa: E731
     outmap = lambda k: (k, jnp.int32(0))                   # noqa: E731
-    nv = jnp.full((1,), n, jnp.int32)
+    nv = device_const(np.full((1,), n), jnp.int32)
 
     @jax.jit
     def free_apply(R):
@@ -768,21 +801,24 @@ def make_pallas_constrained_apply(element_matrix: np.ndarray, n: int,
     W = _width(n)
     _, perm = _interval_plan(n)
     Kp = np.asarray(element_matrix)[np.ix_(perm, perm)]
-    Ke = jnp.asarray(Kp, dtype)
-    lane = cell_lane_mask(n, dtype)
-    lmask = jnp.zeros((1, W), dtype).at[0, :lane.shape[0]].set(lane)
+    Ke = device_const(Kp, dtype)
+    lmask = device_const(_lane_mask_np(n), dtype)
     tc = min(tc, n)
     n_blocks = math.ceil(n / tc)
     zh_pad = n_blocks * tc + 1
     kern = partial(_kernel_v3, n=n, tc=tc, W=W, n_blocks=n_blocks)
     pad_rows_n = (zh_pad - (n + 1)) * 24
-    mask_padded = jnp.pad(jnp.asarray(free_mask_rows, dtype),
-                          ((0, pad_rows_n), (0, 0)))
+    if isinstance(free_mask_rows, np.ndarray):   # setup path: pad on host
+        mask_padded = device_const(
+            np.pad(free_mask_rows, ((0, pad_rows_n), (0, 0))), dtype)
+    else:
+        mask_padded = jnp.pad(jnp.asarray(free_mask_rows, dtype),
+                              ((0, pad_rows_n), (0, 0)))
 
     zero1 = lambda k: (jnp.int32(0),)                      # noqa: E731
     zero2 = lambda k: (jnp.int32(0), jnp.int32(0))         # noqa: E731
     outmap = lambda k: (k, jnp.int32(0))                   # noqa: E731
-    nv = jnp.full((1,), n, jnp.int32)
+    nv = device_const(np.full((1,), n), jnp.int32)
 
     @jax.jit
     def constrained_apply(R):
@@ -846,7 +882,7 @@ def make_coupling_rows(coupling_matrix: np.ndarray, n: int,
     ``coupling_matrix``: (81, 8) element matrix, rows (node*3 + comp)
     lex x-fastest, biot folded in (structured._coupling_element_matrix).
     """
-    Ce = jnp.asarray(coupling_matrix, dtype)             # (81, 8)
+    Ce = device_const(coupling_matrix, dtype)            # (81, 8)
     W = _width(n)
     g1 = n + 1
     lat_u = node_lattice(2, 3)                           # (27, 3)
@@ -894,7 +930,7 @@ def make_projection_rows(projection_matrix: np.ndarray, n: int,
     with c over VOIGT_PAIRS, cols (node*3 + comp) lex x-fastest
     (structured._projection_element_matrix).
     """
-    Pe = jnp.asarray(projection_matrix, dtype)           # (Np*C, 81)
+    Pe = device_const(projection_matrix, dtype)          # (Np*C, 81)
     Np_C = Pe.shape[0]
     g1 = n + 1
     Lc = n * (n + 1)
@@ -992,9 +1028,14 @@ def make_row_ops(element_matrix: np.ndarray, n: int, free_mask_u,
                                         interpret=interpret)
     t = jax.jit(lambda x: to_rows(x, n))
     f = jax.jit(lambda r: from_rows(r, n))
-    mask_rows = t(jnp.asarray(free_mask_u, dtype))
-    ones_rows = t(jnp.ones_like(jnp.asarray(diag_elasticity, dtype)))
-    diag_rows = t(jnp.asarray(diag_elasticity, dtype)) + (1.0 - ones_rows)
+    # setup constants in numpy (to_rows_np) + device_const transfers: no
+    # eager device compiles, no device->host pulls (ops/devconst.py)
+    free_mask_u = np.asarray(free_mask_u, np.float64)
+    mask_np = to_rows_np(free_mask_u, n, fill=0.0)
+    mask_rows = device_const(mask_np, dtype)
+    diag_rows = device_const(
+        to_rows_np(np.asarray(diag_elasticity, np.float64), n, fill=1.0),
+        dtype)
     cr = (make_coupling_rows(coupling_matrix, n, dtype)
           if coupling_matrix is not None else None)
     pr = (make_projection_rows(projection_matrix, n, dtype)
@@ -1004,10 +1045,10 @@ def make_row_ops(element_matrix: np.ndarray, n: int, free_mask_u,
     # (usage ~ row_bytes * (6 tc + 30) vs v2's 4 tc + 26)
     row_bytes = 24 * _width(n) * jnp.dtype(dtype).itemsize
     tc3 = max(2, min(8, int(((15 << 20) // row_bytes - 30) // 6)))
-    fused = make_pallas_constrained_apply(element_matrix, n, mask_rows,
+    fused = make_pallas_constrained_apply(element_matrix, n, mask_np,
                                           dtype, tc=tc3,
                                           interpret=interpret)
-    free = make_pallas_free_apply(element_matrix, n, mask_rows, dtype,
+    free = make_pallas_free_apply(element_matrix, n, mask_np, dtype,
                                   tc=tc3, interpret=interpret)
     bp = lazy_block_precond(element_matrix, n, free_mask_u, dtype)
     return ElasticityRowOps(n=n, apply_rows=apply_rows, to_rows=t,

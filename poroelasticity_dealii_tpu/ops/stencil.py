@@ -24,6 +24,8 @@ from __future__ import annotations
 import numpy as np
 
 import jax.numpy as jnp
+
+from .devconst import device_const
 from jax import lax
 
 from ..ops.shape import node_lattice
@@ -130,12 +132,12 @@ def make_stencil_apply(element_matrix: np.ndarray, k_in: int, k_out: int,
                                          n_comp_in, n_comp_out, dim, ns,
                                          dtype, precision)
     gs_in = tuple(k_in * n + 1 for n in ns)
-    wg = jnp.asarray(_to_kernel(element_matrix, n_comp_in, k_in, dim),
-                     dtype=dtype)
+    wg = device_const(_to_kernel(element_matrix, n_comp_in, k_in, dim),
+                      dtype)
     n_local_out = element_matrix.shape[0] // n_comp_out
-    ws = jnp.asarray(
+    ws = device_const(
         _scatter_kernel(n_comp_out, n_local_out, n_comp_out, k_out, dim),
-        dtype=dtype)
+        dtype)
 
     def apply(x):
         ye = conv_cellwise(x, wg, k_in, dim, n_comp_in, gs_in,
@@ -160,7 +162,7 @@ def _make_q1_slices_apply(element_matrix: np.ndarray, dim: int, ns, dtype):
     K = np.asarray(element_matrix, np.float64)
     # local lex order (x fastest) -> per-axis offsets in (x, y[, z])
     offsets = [tuple((a >> d) & 1 for d in range(dim)) for a in range(2**dim)]
-    Kj = jnp.asarray(K, dtype)
+    Kj = device_const(K, dtype)
     rev = tuple(reversed(ns))                       # grid is (z, y, x)
 
     def cell_slice(off):
@@ -220,7 +222,7 @@ def _make_parity_matmul_apply(element_matrix: np.ndarray, k_in: int,
                      for c in range(nci) for node in range(n_nodes_in)])
     rows = np.array([node * nco + c
                      for c in range(nco) for node in range(n_nodes_out)])
-    Kr = jnp.asarray(K[np.ix_(rows, cols)], dtype)
+    Kr = device_const(K[np.ix_(rows, cols)], dtype)
     rev_ns = tuple(reversed(ns))                  # cells per axis (z, y, x)
     gs_in = tuple(k_in * n + 1 for n in rev_ns)
     g_out = tuple(k_out * n + 1 for n in rev_ns)

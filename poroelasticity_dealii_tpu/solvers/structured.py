@@ -239,7 +239,8 @@ def build_grid_discretization(data: InputData,
     free_p_np, dirichlet_p_np = _pressure_dirichlet(mesh, p_space, data)
 
     lam, mu = data.lame_constant, data.shear_modulus
-    jp = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)  # noqa: E731
+    from ..ops.devconst import device_const
+    jp = lambda a: device_const(a, dtype)  # noqa: E731
 
     # preconditioner diagonals on the host (numpy path of the *_diagonal
     # dispatchers) — avoids per-shape eager-XLA compiles at setup
@@ -337,9 +338,12 @@ def build_grid_discretization(data: InputData,
                            or (eb == "auto"
                                and d.n_udofs >= PARITY_AUTO_MIN_UDOFS)):
             from ..ops.parity2d import make_parity_ops
+            # numpy mask/diag (NOT the jnp fields): parity setup runs
+            # host-side; jnp inputs cost ~4.5 s device->host tunnel pulls
+            # each (round-5 profile)
             d.row_ops = make_parity_ops(
                 np.asarray(Ke, np.float64), cells_per_axis[0],
-                d.free_mask_u, d.diag_elasticity, dtype=d.dtype,
+                free_np.astype(np.float64), diag_el, dtype=d.dtype,
                 coupling_matrix=np.asarray(Ce, np.float64),
                 projection_matrix=np.asarray(Pe, np.float64))
     if eb != "conv" and d.row_ops is None:
@@ -366,7 +370,7 @@ def build_grid_discretization(data: InputData,
             from ..ops.pallas_comp_major import make_row_ops
             d.row_ops = make_row_ops(
                 np.asarray(Ke, np.float64), cells_per_axis[0],
-                d.free_mask_u, d.diag_elasticity, dtype=d.dtype,
+                free_np.astype(np.float64), diag_el, dtype=d.dtype,
                 interpret=not on_tpu,
                 coupling_matrix=np.asarray(Ce, np.float64),
                 projection_matrix=np.asarray(Pe, np.float64))

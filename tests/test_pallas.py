@@ -389,3 +389,25 @@ def test_mech_solve_block_precond_matches_jacobi():
     scale = np.abs(u_j).max()
     np.testing.assert_allclose(u_b, u_j, atol=5e-5 * scale)
     assert it_b <= it_j, (it_b, it_j)
+
+
+def test_to_rows_np_matches_device():
+    """Host-side setup-constant layout (round-5 devconst fix) is bit-for-bit
+    the device to_rows it replaced, for both fill conventions."""
+    import numpy as np
+    import jax.numpy as jnp
+    from poroelasticity_dealii_tpu.ops.pallas_comp_major import (
+        to_rows, to_rows_np, _width)
+    n = 3
+    g = 2 * n + 1
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(g ** 3 * 3)
+    dev = np.asarray(to_rows(jnp.asarray(v), n))
+    host = to_rows_np(v, n, fill=0.0)
+    np.testing.assert_allclose(host, dev, rtol=0, atol=0)
+    # fill=1.0 == t(diag) + (1 - t(ones)) (the diag-rows convention)
+    ones = np.asarray(to_rows(jnp.ones(g ** 3 * 3), n))
+    dev_diag = dev + (1.0 - ones)
+    np.testing.assert_allclose(to_rows_np(v, n, fill=1.0), dev_diag,
+                               rtol=0, atol=0)
+    assert to_rows_np(v, n).shape == ((n + 1) * 24, _width(n))
