@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .devconst import device_const
 from .shape import node_lattice
 
 
@@ -129,7 +130,7 @@ def make_apply_parity(element_matrix: np.ndarray, n: int, nc: int,
                       precision=lax.Precision.HIGHEST):
     """Unconstrained Q2->Q2 operator apply, parity -> parity."""
     lat = node_lattice(2, 2)
-    Kr = jnp.asarray(_comp_major(element_matrix, nc, nc), dtype)
+    Kr = device_const(_comp_major(element_matrix, nc, nc), dtype)
 
     def apply_p(Xp):
         U = _gather_q2(Xp, n, nc, lat)
@@ -137,6 +138,47 @@ def make_apply_parity(element_matrix: np.ndarray, n: int, nc: int,
         return _scatter_q2(Ye.reshape(nc, 9, n, n), n, nc, lat)
 
     return apply_p
+
+
+def make_apply_parity_local(element_matrix: np.ndarray, n: int, Ly: int,
+                            nc: int = 2, dtype=jnp.float32,
+                            precision=lax.Precision.HIGHEST):
+    """Per-device y-slab apply for the SHARDED parity path
+    (parallel/rows.py::make_parity_ops_sharded).
+
+    Input ``xl``: ``(nc, 2, 2, Ly + 1, n + 1)`` — the device's ``Ly``
+    owned iy-rows plus ONE halo row (the y+ neighbour's first row,
+    already concatenated by the caller).  ``nv`` (traced int32): the
+    device's count of REAL cell rows (tail devices own padding rows).
+    Output: ``(nc, 2, 2, Ly + 1, n + 1)`` — the local contribution
+    including the band for the y+ neighbour's first row (row Ly), which
+    the caller ppermutes back.  Same gather/einsum/scatter as
+    :func:`make_apply_parity`, restricted to the slab."""
+    lat = node_lattice(2, 2)
+    Kr = device_const(_comp_major(element_matrix, nc, nc), dtype)
+
+    def apply_local(xl, nv):
+        pieces = []
+        for node in range(9):
+            (cy, sy), (cx, sx) = _cls_start(int(lat[node, 1])), \
+                _cls_start(int(lat[node, 0]))
+            pieces.append(xl[:, cy, cx, sy:sy + Ly, sx:sx + n])
+        U = jnp.stack(pieces, 1).reshape(nc * 9, Ly * n)
+        Ye = jnp.einsum("oi,ie->oe", Kr, U, precision=precision)
+        Ye = Ye.reshape(nc, 9, Ly, n)
+        # mask cell rows past the device's real count (the halo row can
+        # hold live neighbour data — this is a correctness mask)
+        rowmask = (jnp.arange(Ly) < nv).astype(Ye.dtype)[None, None, :, None]
+        Ye = Ye * rowmask
+        acc = [[None, None], [None, None]]
+        for node in range(9):
+            (cy, sy), (cx, sx) = _cls_start(int(lat[node, 1])), \
+                _cls_start(int(lat[node, 0]))
+            P = jnp.pad(Ye[:, node], ((0, 0), (sy, 1 - sy), (sx, 1 - sx)))
+            acc[cy][cx] = P if acc[cy][cx] is None else acc[cy][cx] + P
+        return jnp.stack([jnp.stack(r, 1) for r in acc], 1)
+
+    return apply_local
 
 
 def make_coupling_parity(coupling_matrix: np.ndarray, n: int, nc: int,
@@ -148,7 +190,7 @@ def make_coupling_parity(coupling_matrix: np.ndarray, n: int, nc: int,
     already contiguous slices of the (n+1, n+1) node grid."""
     lat_u = node_lattice(2, 2)
     lat_p = node_lattice(1, 2)
-    Cr = jnp.asarray(_comp_major(coupling_matrix, 1, nc), dtype)
+    Cr = device_const(_comp_major(coupling_matrix, 1, nc), dtype)
     g1 = n + 1
 
     def coupling_p(p):
@@ -171,7 +213,7 @@ def make_projection_parity(projection_matrix: np.ndarray, n: int, nc: int,
     lat_u = node_lattice(2, 2)
     lat_p = node_lattice(1, 2)
     C = projection_matrix.shape[0] // 4
-    Pr = jnp.asarray(_comp_major(projection_matrix, nc, C), dtype)
+    Pr = device_const(_comp_major(projection_matrix, nc, C), dtype)
     g1 = n + 1
 
     def projection_p(Xp):
@@ -230,10 +272,15 @@ def make_parity_ops(element_matrix: np.ndarray, n: int, free_mask_u,
     apply_p = make_apply_parity(element_matrix, n, nc, dtype)
     t = jax.jit(lambda x: to_parity(x, n, nc))
     f = jax.jit(lambda r: from_parity(r, n, nc))
-    # setup constants in numpy (to_parity_np): no eager device compiles
-    mask_p = jnp.asarray(to_parity_np(free_mask_u, n, nc), dtype)
-    ones_p = to_parity_np(np.ones(np.asarray(diag_elasticity).shape), n, nc)
-    diag_p = jnp.asarray(
+    # setup constants in numpy (to_parity_np) + device_const transfers:
+    # no eager device compiles, no device->host pulls (callers pass the
+    # numpy originals — round-5 profile: feeding jnp arrays here cost 4
+    # ~4.5 s tunnel pulls)
+    free_mask_u = np.asarray(free_mask_u, np.float64)
+    diag_elasticity = np.asarray(diag_elasticity, np.float64)
+    mask_p = device_const(to_parity_np(free_mask_u, n, nc), dtype)
+    ones_p = to_parity_np(np.ones(diag_elasticity.shape), n, nc)
+    diag_p = device_const(
         to_parity_np(diag_elasticity, n, nc) + (1.0 - ones_p), dtype)
     cr = (make_coupling_parity(coupling_matrix, n, nc, dtype)
           if coupling_matrix is not None else None)

@@ -32,11 +32,19 @@ def _dot(a, b, precise=False):
     to sum(|p_i (Ap)_i|)); observed on TPU as a *negative* p·Ap and a
     completely stalled solve.  When x64 is enabled (emulated f64 on TPU is
     fine for a bandwidth-bound dot), accumulate in float64; otherwise keep
-    the plain dot (enable x64 for f32 production runs — bench.py does)."""
+    the plain dot (enable x64 for f32 production runs — bench.py does).
+
+    Reduction form (``sum(a*b)``), NOT ``jnp.vdot``: vdot flattens via
+    reshape(-1) first, and under GSPMD a flatten of an array sharded on an
+    interior axis (the 2D parity y-slab layout, axis 3 of 5) is only
+    partitionable by ALL-GATHERING the operand — one full volume over ICI
+    per dot, 3x per CG iteration.  The elementwise+reduce form partitions
+    as a local reduce + scalar all-reduce on every layout
+    (tests/test_parity_sharding.py::test_2d_mech_cg_loop_collectives...)."""
     if precise and a.dtype == jnp.float32 and jax.config.jax_enable_x64:
-        return jnp.vdot(a.astype(jnp.float64),
-                        b.astype(jnp.float64)).astype(a.dtype)
-    return jnp.vdot(a, b)
+        return jnp.sum(a.astype(jnp.float64)
+                       * b.astype(jnp.float64)).astype(a.dtype)
+    return jnp.sum(a * b)
 
 
 class CGResult(NamedTuple):

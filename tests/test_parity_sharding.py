@@ -1,0 +1,157 @@
+"""Multi-chip 2D PRODUCTION path tests (parallel/rows.py, parity layout).
+
+Round-4 verdict item 4: the parallelism obligation (SURVEY §2 closing) had
+a hole exactly where the reference's practical dimension lives (the well
+term asserts dim == 2, /root/reference/lib/include/right_hand_side.h:104)
+— the 2D parity mechanics path was single-chip only.  Tiers mirror
+tests/test_rows_sharding.py:
+
+* sharded y-slab parity apply equality vs the unsharded parity apply;
+* full production FSS step on the golden-deck physics, 1 vs 8 shards;
+* HLO audit: the mechanics CG loop's collectives are ONE node-row halo
+  band each way per apply (interface-scaled: nc*2*2*(n+1) values,
+  independent of slab depth) plus scalar all-reduce dots.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from poroelasticity_dealii_tpu.config import read_input_file
+from poroelasticity_dealii_tpu.ops.parity2d import make_parity_ops
+from poroelasticity_dealii_tpu.parallel import make_device_mesh
+from poroelasticity_dealii_tpu.parallel.rows import (
+    make_parity_ops_sharded, shard_production_discretization)
+from poroelasticity_dealii_tpu.solvers import FixedStressSolver
+from poroelasticity_dealii_tpu.solvers.structured import \
+    build_grid_discretization
+
+DECK = "configs/golden_2d.data"
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+_DTYPE_BYTES = {"f32": 4, "f64": 8, "u32": 4, "s32": 4, "pred": 1}
+
+
+def _collectives(hlo: str):
+    out = []
+    for line in hlo.splitlines():
+        m = re.search(
+            r"= (\w+)\[([\d,]*)\][^\n]*?"
+            r"(all-gather|all-reduce|collective-permute|all-to-all|"
+            r"reduce-scatter)", line)
+        if m:
+            dt, shape_s, kind = m.groups()
+            n = 1
+            for tok in shape_s.split(","):
+                if tok:
+                    n *= int(tok)
+            out.append((kind, n * _DTYPE_BYTES.get(dt, 4)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def dmesh():
+    return make_device_mesh(8)
+
+
+@pytest.mark.parametrize("n", [7, 16])   # 8 rows (tail-heavy) and 17
+def test_sharded_parity_apply_matches_unsharded(n, dmesh):
+    rng = np.random.default_rng(0)
+    Ke = rng.standard_normal((18, 18))
+    Ke = Ke + Ke.T
+    nud = (2 * n + 1) ** 2 * 2
+    u = rng.standard_normal(nud)
+    ones = np.ones(nud)
+    ro1 = make_parity_ops(Ke, n, ones, ones, dtype=jnp.float64)
+    ro8 = make_parity_ops_sharded(Ke, n, ones, ones, dmesh,
+                                  dtype=jnp.float64)
+    uj = jnp.asarray(u)
+    y0 = ro1.from_rows(ro1.apply_rows(ro1.to_rows(uj)))
+    R = ro8.to_rows(uj)
+    import math
+    Ly = math.ceil((n + 1) / 8)
+    assert R.shape == (2, 2, 2, 8 * Ly, n + 1)
+    y1 = ro8.from_rows(ro8.apply_rows(R))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-12,
+                               atol=1e-12 * float(jnp.abs(y0).max()))
+    # layout roundtrip through the padded sharded shape
+    np.testing.assert_allclose(np.asarray(ro8.from_rows(R)), u)
+
+
+def _production_pair(n, dmesh):
+    data = read_input_file(DECK)
+    disc = build_grid_discretization(data, cells_per_axis=n,
+                                     multigrid="off",
+                                     elasticity_backend="parity")
+    sdisc = shard_production_discretization(disc, dmesh)
+    return data, disc, sdisc
+
+
+def test_production_2d_step_1_vs_8(dmesh):
+    data, disc, sdisc = _production_pair(8, dmesh)
+    s1 = FixedStressSolver(disc, data)
+    s8 = FixedStressSolver(sdisc, data)
+    st1, st8 = s1.initial_state(), s8.initial_state()
+    np.testing.assert_allclose(np.asarray(st8.u), np.asarray(st1.u),
+                               rtol=1e-9,
+                               atol=1e-11 * float(jnp.abs(st1.u).max()))
+    a1, t1 = s1.time_step(st1, data.time_step)
+    a8, t8 = s8.time_step(st8, data.time_step)
+    assert int(t8.pressure_iterations) > 0     # non-degenerate
+    assert int(t8.mech_cg_iterations) > 0
+    np.testing.assert_allclose(np.asarray(a8.p), np.asarray(a1.p),
+                               rtol=1e-9)
+    a1u, a8u = s1.materialize_u(a1), s8.materialize_u(a8)
+    np.testing.assert_allclose(np.asarray(a8u.u), np.asarray(a1u.u),
+                               rtol=1e-8,
+                               atol=1e-10 * float(jnp.abs(a1u.u).max()))
+
+
+def test_2d_mech_cg_loop_collectives_are_halo_rows(dmesh):
+    """5 CG iterations through the sharded 2D parity apply: every
+    collective-permute moves at most one node-row band (nc*2*2*(n+1)
+    values) and all-reduces are scalar dots."""
+    n = 16
+    data, disc, sdisc = _production_pair(n, dmesh)
+    ro = sdisc.row_ops
+    band = 2 * 2 * 2 * (n + 1) * jnp.dtype(sdisc.dtype).itemsize
+
+    from poroelasticity_dealii_tpu.solvers.cg import _dot
+
+    def cg5(b):
+        x = jnp.zeros_like(b)
+        r = b
+        p = r
+        rs = _dot(r, r)
+
+        def body(i, c):
+            x, r, p, rs = c
+            ap = ro.constrained_apply(p)
+            alpha = rs / _dot(p, ap)
+            x = x + alpha * p
+            r = r - alpha * ap
+            rs2 = _dot(r, r)
+            return x, r, r + (rs2 / rs) * p, rs2
+
+        return jax.lax.fori_loop(0, 5, body, (x, r, p, rs))[0]
+
+    hlo = jax.jit(cg5).lower(
+        jnp.zeros_like(ro.free_mask_rows)).compile().as_text()
+    cols = _collectives(hlo)
+    perms = [b for k, b in cols if k == "collective-permute"]
+    assert perms, "no halo ppermutes found"
+    for b in perms:
+        assert b <= band, (b, band)
+    for k, b in cols:
+        if k == "all-reduce":
+            assert b <= 16, (k, b)           # scalar dots (f32/f64)
+        assert k not in ("all-gather", "all-to-all"), k
+    # total permute traffic is interface-scaled: far below one volume
+    vol = ro.free_mask_rows.size * jnp.dtype(sdisc.dtype).itemsize
+    assert sum(perms) < vol, (sum(perms), vol)
