@@ -85,13 +85,33 @@ def empty_constraints(dtype) -> HangingConstraints:
         weights=jnp.zeros((0, 1), dtype))
 
 
+def _q2_edge_triples(dim: int):
+    """Q2 lattice (corner, corner, midnode) local index triples per cell
+    edge: the midnode has exactly one lattice-interior axis, the corners
+    are its endpoints along that axis."""
+    lat = node_lattice(2, dim)
+    out = []
+    for a in range(lat.shape[0]):
+        interior = [d for d in range(dim) if lat[a, d] == 1]
+        if len(interior) != 1:
+            continue
+        d = interior[0]
+
+        def corner(v):
+            q = lat[a].copy()
+            q[d] = v
+            return int(np.nonzero((lat == q).all(axis=1))[0][0])
+        out.append((corner(0), corner(2), a))
+    return out
+
+
 def _edge_midnode_map(space: FESpace) -> Dict[Tuple[int, int], int]:
-    """(sorted corner-vertex pair) -> Q2 edge midnode id, from cell data.
-    Local Q2 lattice (3x3, x fastest): edges (corners, midnode):
-    bottom (0,2)->1, top (6,8)->7, left (0,6)->3, right (2,8)->5."""
+    """(sorted corner-vertex pair) -> Q2 edge midnode id, from cell data
+    (any dim: 4 edges per quad, 12 per hex)."""
     cn = space.cell_nodes
+    dim = space.mesh.dim
     out: Dict[Tuple[int, int], int] = {}
-    for (c0, c1, m) in ((0, 2, 1), (6, 8, 7), (0, 6, 3), (2, 8, 5)):
+    for (c0, c1, m) in _q2_edge_triples(dim):
         a = cn[:, c0].astype(np.int64)
         b = cn[:, c1].astype(np.int64)
         mm = cn[:, m]
@@ -99,6 +119,38 @@ def _edge_midnode_map(space: FESpace) -> Dict[Tuple[int, int], int]:
         hi = np.maximum(a, b)
         for k in range(len(a)):
             out[(int(lo[k]), int(hi[k]))] = int(mm[k])
+    return out
+
+
+def _q2_face_centers(dim: int):
+    """Q2 lattice (4 corners (face-lex), center) local index tuples per
+    cell face (3D: the 6 hex faces)."""
+    lat = node_lattice(2, dim)
+    out = []
+    for a in range(lat.shape[0]):
+        interior = [d for d in range(dim) if lat[a, d] == 1]
+        if len(interior) != 2:
+            continue
+        d1, d2 = interior
+
+        def corner(v1, v2):
+            q = lat[a].copy()
+            q[d1], q[d2] = v1, v2
+            return int(np.nonzero((lat == q).all(axis=1))[0][0])
+        out.append(((corner(0, 0), corner(2, 0), corner(0, 2),
+                     corner(2, 2)), a))
+    return out
+
+
+def _face_center_map(space: FESpace) -> Dict[tuple, int]:
+    """(sorted 4-corner-vertex tuple) -> Q2 face-center node id (3D)."""
+    cn = space.cell_nodes
+    out: Dict[tuple, int] = {}
+    for (corners, m) in _q2_face_centers(space.mesh.dim):
+        quad = cn[:, list(corners)].astype(np.int64)
+        mm = cn[:, m]
+        for k in range(quad.shape[0]):
+            out[tuple(sorted(int(v) for v in quad[k]))] = int(mm[k])
     return out
 
 
@@ -270,6 +322,120 @@ def build_hanging_constraints(forest: QuadForest, mesh, p_space: FESpace,
                         vid[pt(LO + span2 // 2)]))
     return build_hanging_constraints_from_edges(triples, mesh.dim,
                                                 u_space, dtype)
+
+
+def _lagrange_q2_1d(x: float):
+    """1D quadratic Lagrange basis over nodes {0, 0.5, 1} at ``x``."""
+    return ((1 - x) * (1 - 2 * x), 4 * x * (1 - x), x * (2 * x - 1))
+
+
+def build_hanging_constraints_3d_entities(face_grids, edge_triples,
+                                          u_space: FESpace, dtype):
+    """3D hanging-node constraints from hanging-entity enumerations
+    (:meth:`..amr.multiroot3d.MultiRootOctForest.hanging_faces` /
+    ``hanging_edges``) — the forest-topology-agnostic 3D mirror of
+    :func:`build_hanging_constraints_from_edges`.
+
+    ``face_grids``: one dict per hanging coarse face mapping half-step
+    face-frame positions (a, b) in {0, 1, 2}^2 to fine-mesh VERTEX ids —
+    corners at (even, even), the refined side's edge-midpoint and
+    face-center vertices elsewhere.  Every fine-side node on the face
+    (fine vertices, fine Q2 edge midnodes at quarter points, fine Q2
+    quarter-face centers) is constrained by the coarse face's Lagrange
+    trace — bilinear in the 4 corners for Q1, biquadratic in the 9 coarse
+    face nodes for Q2 — written in the face PARAMETER, which is exact on
+    distorted trilinear parents (the trilinear map restricted to a face is
+    bilinear in the parameters, so fine nodes sit at exact parametric
+    fractions).  ``edge_triples``: (v0, v1, h) per hanging coarse edge,
+    exactly as in 2D; face rows take precedence where both apply (the
+    face trace restricted to a boundary edge IS the edge trace, so the
+    overlap is consistent)."""
+    q2 = u_space.degree == 2
+    mid_u = _edge_midnode_map(u_space) if q2 else {}
+    fc_u = _face_center_map(u_space) if q2 else {}
+
+    p_rows: Dict[int, list] = {}
+    u_rows: Dict[int, list] = {}
+
+    for grid in face_grids:
+        c00, c10 = grid[(0, 0)], grid[(2, 0)]
+        c01, c11 = grid[(0, 2)], grid[(2, 2)]
+        corners = (c00, c10, c01, c11)
+
+        def bilinear(s, t):
+            return [(c00, (1 - s) * (1 - t)), (c10, s * (1 - t)),
+                    (c01, (1 - s) * t), (c11, s * t)]
+
+        # Q1 pressure: the 5 non-corner grid vertices hang off the corners
+        for (a, b), node in grid.items():
+            if a % 2 == 0 and b % 2 == 0:
+                continue
+            p_rows.setdefault(node, bilinear(a / 2.0, b / 2.0))
+
+        if not q2:
+            for (a, b), node in grid.items():
+                if a % 2 == 0 and b % 2 == 0:
+                    continue
+                u_rows.setdefault(node, bilinear(a / 2.0, b / 2.0))
+            continue
+
+        # Q2: 9 coarse masters at params {0, .5, 1}^2
+        def emid(va, vb):
+            return mid_u[tuple(sorted((va, vb)))]
+
+        masters = {(0.0, 0.0): c00, (1.0, 0.0): c10,
+                   (0.0, 1.0): c01, (1.0, 1.0): c11,
+                   (0.5, 0.0): emid(c00, c10), (0.5, 1.0): emid(c01, c11),
+                   (0.0, 0.5): emid(c00, c01), (1.0, 0.5): emid(c10, c11),
+                   (0.5, 0.5): fc_u[tuple(sorted(corners))]}
+
+        def trace(s, t):
+            Ls, Lt = _lagrange_q2_1d(s), _lagrange_q2_1d(t)
+            out = []
+            for (ms, mt), node in masters.items():
+                w = Ls[int(2 * ms)] * Lt[int(2 * mt)]
+                if abs(w) > 1e-14:
+                    out.append((node, w))
+            return out
+
+        # fine-side nodes on the face, with their face params:
+        fine = []
+        for (a, b), node in grid.items():       # fine vertices
+            if a % 2 == 0 and b % 2 == 0:
+                continue
+            fine.append((node, a / 2.0, b / 2.0))
+        for qa in (0, 1):                        # per fine quarter face
+            for qb in (0, 1):
+                q = [grid[(qa, qb)], grid[(qa + 1, qb)],
+                     grid[(qa, qb + 1)], grid[(qa + 1, qb + 1)]]
+                x0, y0 = qa / 2.0, qb / 2.0
+                fine.extend([
+                    (emid(q[0], q[1]), x0 + 0.25, y0),
+                    (emid(q[2], q[3]), x0 + 0.25, y0 + 0.5),
+                    (emid(q[0], q[2]), x0, y0 + 0.25),
+                    (emid(q[1], q[3]), x0 + 0.5, y0 + 0.25),
+                    (fc_u[tuple(sorted(q))], x0 + 0.25, y0 + 0.25)])
+        for node, s, t in fine:
+            u_rows.setdefault(node, trace(s, t))
+
+    # hanging edges: fill nodes the face treatment didn't reach
+    mid_map = mid_u
+    for (v0, v1, h) in edge_triples:
+        p_rows.setdefault(h, [(v0, 0.5), (v1, 0.5)])
+        if q2:
+            m = mid_map[tuple(sorted((v0, v1)))]
+            m0 = mid_map[tuple(sorted((v0, h)))]
+            m1 = mid_map[tuple(sorted((h, v1)))]
+            w0, wm, w1 = _Q2_W_QUARTER
+            u_rows.setdefault(h, [(m, 1.0)])
+            u_rows.setdefault(m0, [(v0, w0), (m, wm), (v1, w1)])
+            u_rows.setdefault(m1, [(v0, w1), (m, wm), (v1, w0)])
+        else:
+            u_rows.setdefault(h, [(v0, 0.5), (v1, 0.5)])
+
+    dim = u_space.mesh.dim
+    return (_pack_rows(sorted(p_rows.items()), 1, dtype),
+            _pack_rows(sorted(u_rows.items()), dim, dtype))
 
 
 def build_hanging_constraints_from_edges(triples, dim, u_space, dtype):

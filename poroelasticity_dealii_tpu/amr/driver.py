@@ -26,6 +26,8 @@ from .forest import QuadForest
 from .kelly import fixed_fraction_marks, kelly_estimate, kelly_estimate_3d
 from .multiroot import (MultiRootQuadForest, kelly_estimate_multiroot,
                         transfer_nodal_multiroot)
+from .multiroot3d import (MultiRootOctForest, kelly_estimate_multiroot3d,
+                          transfer_nodal_multiroot3d)
 from .octforest import OctForest
 from .transfer import transfer_nodal
 
@@ -40,7 +42,12 @@ def build_amr_discretization(forest, data: InputData):
     the edge-triple builder (``constraints.py``)."""
     mesh = forest.to_mesh()
     disc = build_discretization(mesh, data)
-    if isinstance(forest, MultiRootQuadForest):
+    if isinstance(forest, MultiRootOctForest):
+        from .constraints import build_hanging_constraints_3d_entities
+        hc_p, hc_u = build_hanging_constraints_3d_entities(
+            forest.hanging_faces(), forest.hanging_edges(),
+            disc.displacement_space, disc.dtype)
+    elif isinstance(forest, MultiRootQuadForest):
         from .constraints import build_hanging_constraints_from_edges
         hc_p, hc_u = build_hanging_constraints_from_edges(
             forest.hanging_edges(), mesh.dim, disc.displacement_space,
@@ -100,12 +107,10 @@ class AMRSimulationRunner:
             # forest-of-roots over the imported coarse mesh — the deal.II
             # model where ANY Triangulation (including one read from gmsh,
             # PoroelasticityFSS.h:439-445) can be adaptively refined
-            if data.dim != 2:
-                raise NotImplementedError(
-                    "AMR on imported meshes is 2D (quad) only; 3D "
-                    "gmsh-rooted oct-forests are future work")
             from ..mesh.gmsh_io import read_msh
-            self.forest = MultiRootQuadForest.from_mesh(
+            forest_cls = (MultiRootQuadForest if data.dim == 2
+                          else MultiRootOctForest)
+            self.forest = forest_cls.from_mesh(
                 read_msh(data.mesh_file), data.initial_refinement_level)
         else:
             size = np.asarray(data.domain_size[:data.dim], float)
@@ -166,8 +171,11 @@ class AMRSimulationRunner:
         data = self.data
         state = self._real_state(state)
         mesh_old = self.disc.pressure_space.mesh
-        multiroot = isinstance(self.forest, MultiRootQuadForest)
-        if multiroot:
+        if isinstance(self.forest, MultiRootOctForest):
+            forest_old = self.forest.copy()
+            estimator = kelly_estimate_multiroot3d
+            transfer = transfer_nodal_multiroot3d
+        elif isinstance(self.forest, MultiRootQuadForest):
             forest_old = self.forest.copy()
             estimator = kelly_estimate_multiroot
             transfer = transfer_nodal_multiroot

@@ -47,10 +47,13 @@ def _forest_from_payload(z):
     rows = np.asarray(z["forest_leaves"])
     leaves = {tuple(int(v) for v in row) for row in rows}
     if "forest_mr_cells" in z:
-        from ..amr.multiroot import MultiRootQuadForest
         bids = {(int(r), int(s)): int(i)
                 for r, s, i in np.asarray(z["forest_mr_bids"])}
-        return MultiRootQuadForest(
+        if rows.shape[1] == 5:              # (l, ix, iy, iz, root)
+            from ..amr.multiroot3d import MultiRootOctForest as mr_cls
+        else:                               # (l, ix, iy, root)
+            from ..amr.multiroot import MultiRootQuadForest as mr_cls
+        return mr_cls(
             root_cells=np.asarray(z["forest_mr_cells"]),
             root_coords=np.asarray(z["forest_mr_coords"]),
             boundary_ids=bids, leaves=leaves)
