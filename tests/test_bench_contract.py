@@ -20,18 +20,19 @@ import bench  # noqa: E402
 def _representative_headline():
     # worst-case realistic widths for every field the real main() emits
     return {
-        "metric": "chained_wall_clock_per_fss_timestep_1.66M_dof_3d",
+        "metric": "evolving_chained_wall_clock_per_fss_timestep_1.66M_dof_3d",
         "value": 7777.77,
         "unit": "ms",
         "vs_baseline": 111475.9,
-        "evolving_ms": 7777.77,
-        "evolving_vs_baseline": 111475.9,
+        "steady_ms": 7777.77,
+        "steady_vs_baseline": 111475.9,
         "scan_ms_per_step": 7777.77,
         "evolving_scan_ms_per_step": 7777.77,
         "synced_ms_per_step": 7777.77,
         "x64_reference_tol_ms": 77777.77,
         "vs_baseline_x64": 111475.9,
         "d2_ms": 7777.77,
+        "d2_evolving_ms": 7777.77,
         "d2_scan_ms": 7777.77,
         "detail": "bench_detail.json",
     }
@@ -61,6 +62,46 @@ def test_emit_writes_detail_sidecar(tmp_path, monkeypatch):
     assert saved["chained_reps_ms"] == [1.0, 2.0, 3.0]
     assert "op39" in saved["utilization"]
     assert saved["headline"]["value"] == 7777.77
+
+
+def test_cache_roundtrip_stamps_measured_at(tmp_path, monkeypatch):
+    """Slow sections (x64 / 2D) are measured once and cached with a
+    measured_at stamp (round-4 verdict #1: re-measuring them inside the
+    judged run blew the driver timeout twice)."""
+    monkeypatch.setattr(bench, "CACHE_FILE", str(tmp_path / "cache.json"))
+    saved = bench._save_cache("d2_at_scale", {"ms_per_step_chained": 3.14})
+    assert saved["measured_at"].endswith("Z")
+    loaded = bench._load_cache()["d2_at_scale"]
+    assert loaded["ms_per_step_chained"] == 3.14
+    assert loaded["measured_at"] == saved["measured_at"]
+    # second key does not clobber the first
+    bench._save_cache("x64_reference_tol", {"ms_per_step_chained": 99.0})
+    assert bench._load_cache()["d2_at_scale"]["ms_per_step_chained"] == 3.14
+
+
+def test_backend_name_reports_selected_path():
+    """round-4 weak #4: the 2D record hardcoded 'conv-stencil' while auto
+    selected the parity backend — the label must follow the object."""
+    class _Disc:
+        row_ops = None
+        gmg_precond = None
+        gmg_precond_rows = None
+    d = _Disc()
+    assert "Jacobi" in bench._backend_name(d)
+    d.gmg_precond = object()
+    assert "GMG-Richardson" in bench._backend_name(d)
+
+    class ElasticityParityOps:     # type name is what's sniffed
+        pass
+    d.row_ops = ElasticityParityOps()
+    assert bench._backend_name(d).startswith("parity2d")
+    d.gmg_precond_rows = object()
+    assert "parity-resident GMG" in bench._backend_name(d)
+
+    class ElasticityRowOps:
+        pass
+    d.row_ops = ElasticityRowOps()
+    assert "pallas row-layout" in bench._backend_name(d)
 
 
 def test_oversized_headline_degrades_not_breaks(tmp_path, monkeypatch,
