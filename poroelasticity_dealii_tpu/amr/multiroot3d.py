@@ -639,7 +639,9 @@ class MultiRootOctForest:
                         by_line.setdefault(linekey, {})[
                             (lo, s)] = (leaf, tuple(p0), axis)
         triples = []
-        for linekey, segs in sorted(by_line.items()):
+        # line keys are heterogeneous tuples (("e", v, v) root-edge keys vs
+        # (("f", ...), ...) face keys) — sort by repr for determinism
+        for linekey, segs in sorted(by_line.items(), key=repr):
             for (lo, s), (leaf, p0, axis) in sorted(segs.items()):
                 h = s // 2
                 if not h:
