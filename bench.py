@@ -65,10 +65,44 @@ def _setup_cache():
         pass
 
 
+_WARM_STARTED = False
+
+
+def _warm_pull_async():
+    """Pay the tunnel's first-device->host-pull channel setup (~200 s
+    measured 2026-08-20 for a 40 KB pull, ~1 s for every later pull; see
+    ops/devconst.py::host_const) CONCURRENTLY with setup/compile work.
+    Without this the stall lands serially inside the first jit lowering
+    that bakes a captured device array (fss.__post_init__'s lift) — the
+    direct cause of the round-3/4 judged-bench timeouts."""
+    global _WARM_STARTED
+    if _WARM_STARTED:
+        return
+    _WARM_STARTED = True
+    import threading
+
+    def pull():
+        import numpy as _np
+
+        import jax as _jax
+        if _jax.default_backend() == "cpu":
+            return
+        t0 = time.perf_counter()
+        try:
+            _np.asarray(_jax.device_put(_np.zeros(8, _np.float32)))
+            print(f"# warm d2h pull: {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr)
+        except Exception as e:     # never let the warmup kill the bench
+            print(f"# warm d2h pull failed: {e}", file=sys.stderr)
+
+    threading.Thread(target=pull, daemon=True).start()
+
+
 def build(platform=None, cells=CELLS_PER_AXIS, elasticity_backend=None):
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
+    _warm_pull_async()
     # x64 on: arrays stay float32, but CG dot products accumulate in f64
     # (f32 dots suffer catastrophic cancellation with strong preconditioners)
     jax.config.update("jax_enable_x64", True)
@@ -434,6 +468,7 @@ def build_x64(cells=CELLS_PER_AXIS, elasticity_backend=None, platform=None):
     but relative: 12-digit mechanics solves that actually terminate."""
     import dataclasses
     import jax
+    _warm_pull_async()
     from poroelasticity_dealii_tpu.config import read_input_file
     from poroelasticity_dealii_tpu.solvers import FixedStressSolver
     from poroelasticity_dealii_tpu.solvers.structured import \
@@ -505,6 +540,7 @@ def build_2d(cells=CELLS_2D, elasticity_backend=None):
     import jax
     jax.config.update("jax_enable_x64", True)
     _setup_cache()
+    _warm_pull_async()
     from poroelasticity_dealii_tpu.config import read_input_file
     from poroelasticity_dealii_tpu.solvers import FixedStressSolver
     from poroelasticity_dealii_tpu.solvers.structured import \

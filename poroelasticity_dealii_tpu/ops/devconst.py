@@ -17,6 +17,27 @@ import jax
 import jax.numpy as jnp
 
 
+def host_const(a, dtype) -> np.ndarray:
+    """Host-cast ``a`` to ``dtype`` and KEEP it on the host (numpy).
+
+    For constants CAPTURED by closures that are later ``jax.jit``-ed
+    (element matrices, stencil weights, lane masks): jit lowering bakes
+    captured arrays into the module as MLIR constants, and when the
+    captured array lives on the DEVICE that baking pulls it device->host
+    first (``mlir.ir_constant -> array._value``).  Through the TPU tunnel
+    the FIRST such pull in a process pays a ~200 s channel-setup stall
+    (measured 2026-08-20: 200.5 s for 40 KB, then ~1 s for later pulls) —
+    it is what timed out the round-3/4 judged benches.  A numpy capture
+    is baked straight from host memory: no eager compile, no transfer, no
+    pull.  Use :func:`device_const` instead for arrays passed as call
+    ARGUMENTS (numpy args would re-transfer on every dispatch)."""
+    if isinstance(a, jax.Array):
+        raise TypeError(
+            "host_const is for HOST setup constants; got a jax.Array "
+            "(pass the numpy original instead of pulling it back)")
+    return np.ascontiguousarray(np.asarray(a, jnp.dtype(dtype)))
+
+
 def device_const(a, dtype) -> jax.Array:
     """Host-cast ``a`` to ``dtype`` and transfer it (no XLA compile).
 

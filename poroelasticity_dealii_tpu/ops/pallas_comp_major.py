@@ -78,7 +78,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.devconst import device_const
+from ..ops.devconst import device_const, host_const
 from ..ops.shape import node_lattice
 
 try:
@@ -273,7 +273,7 @@ def _slice_params(n: int):
 def cell_lane_mask(n: int, dtype):
     """(n(n+1),) 1 on real cell lanes, 0 on the per-row phantom column."""
     lanes = np.arange(n * (n + 1))
-    return device_const((lanes % (n + 1)) < n, dtype)
+    return host_const((lanes % (n + 1)) < n, dtype)
 
 
 def _shift_groups(params):
@@ -509,8 +509,8 @@ def make_pallas_apply_rows(element_matrix: np.ndarray, n: int,
     W = _width(n)
     _, perm = _interval_plan(n)
     Kp = np.asarray(element_matrix)[np.ix_(perm, perm)]  # rows AND cols
-    Ke = device_const(Kp, dtype)
-    mask = device_const(_lane_mask_np(n), dtype)
+    Ke = host_const(Kp, dtype)
+    mask = host_const(_lane_mask_np(n), dtype)
     tc = min(tc, nz)
     n_blocks = math.ceil(nz / tc)
     zh_pad = n_blocks * tc + 1                          # input z-half layers
@@ -739,15 +739,15 @@ def make_pallas_free_apply(element_matrix: np.ndarray, n: int,
     W = _width(n)
     _, perm = _interval_plan(n)
     Kp = np.asarray(element_matrix)[np.ix_(perm, perm)]
-    Ke = device_const(Kp, dtype)
-    lmask = device_const(_lane_mask_np(n), dtype)
+    Ke = host_const(Kp, dtype)
+    lmask = host_const(_lane_mask_np(n), dtype)
     tc = min(tc, n)
     n_blocks = math.ceil(n / tc)
     zh_pad = n_blocks * tc + 1
     kern = partial(_kernel_v4, n=n, tc=tc, W=W, n_blocks=n_blocks)
     pad_rows_n = (zh_pad - (n + 1)) * 24
     if isinstance(free_mask_rows, np.ndarray):   # setup path: pad on host
-        mask_padded = device_const(
+        mask_padded = host_const(
             np.pad(free_mask_rows, ((0, pad_rows_n), (0, 0))), dtype)
     else:
         mask_padded = jnp.pad(jnp.asarray(free_mask_rows, dtype),
@@ -756,7 +756,7 @@ def make_pallas_free_apply(element_matrix: np.ndarray, n: int,
     zero1 = lambda k: (jnp.int32(0),)                      # noqa: E731
     zero2 = lambda k: (jnp.int32(0), jnp.int32(0))         # noqa: E731
     outmap = lambda k: (k, jnp.int32(0))                   # noqa: E731
-    nv = device_const(np.full((1,), n), jnp.int32)
+    nv = host_const(np.full((1,), n), jnp.int32)
 
     @jax.jit
     def free_apply(R):
@@ -801,15 +801,15 @@ def make_pallas_constrained_apply(element_matrix: np.ndarray, n: int,
     W = _width(n)
     _, perm = _interval_plan(n)
     Kp = np.asarray(element_matrix)[np.ix_(perm, perm)]
-    Ke = device_const(Kp, dtype)
-    lmask = device_const(_lane_mask_np(n), dtype)
+    Ke = host_const(Kp, dtype)
+    lmask = host_const(_lane_mask_np(n), dtype)
     tc = min(tc, n)
     n_blocks = math.ceil(n / tc)
     zh_pad = n_blocks * tc + 1
     kern = partial(_kernel_v3, n=n, tc=tc, W=W, n_blocks=n_blocks)
     pad_rows_n = (zh_pad - (n + 1)) * 24
     if isinstance(free_mask_rows, np.ndarray):   # setup path: pad on host
-        mask_padded = device_const(
+        mask_padded = host_const(
             np.pad(free_mask_rows, ((0, pad_rows_n), (0, 0))), dtype)
     else:
         mask_padded = jnp.pad(jnp.asarray(free_mask_rows, dtype),
@@ -818,7 +818,7 @@ def make_pallas_constrained_apply(element_matrix: np.ndarray, n: int,
     zero1 = lambda k: (jnp.int32(0),)                      # noqa: E731
     zero2 = lambda k: (jnp.int32(0), jnp.int32(0))         # noqa: E731
     outmap = lambda k: (k, jnp.int32(0))                   # noqa: E731
-    nv = device_const(np.full((1,), n), jnp.int32)
+    nv = host_const(np.full((1,), n), jnp.int32)
 
     @jax.jit
     def constrained_apply(R):
@@ -882,7 +882,7 @@ def make_coupling_rows(coupling_matrix: np.ndarray, n: int,
     ``coupling_matrix``: (81, 8) element matrix, rows (node*3 + comp)
     lex x-fastest, biot folded in (structured._coupling_element_matrix).
     """
-    Ce = device_const(coupling_matrix, dtype)            # (81, 8)
+    Ce = host_const(coupling_matrix, dtype)            # (81, 8)
     W = _width(n)
     g1 = n + 1
     lat_u = node_lattice(2, 3)                           # (27, 3)
@@ -930,7 +930,7 @@ def make_projection_rows(projection_matrix: np.ndarray, n: int,
     with c over VOIGT_PAIRS, cols (node*3 + comp) lex x-fastest
     (structured._projection_element_matrix).
     """
-    Pe = device_const(projection_matrix, dtype)          # (Np*C, 81)
+    Pe = host_const(projection_matrix, dtype)          # (Np*C, 81)
     Np_C = Pe.shape[0]
     g1 = n + 1
     Lc = n * (n + 1)

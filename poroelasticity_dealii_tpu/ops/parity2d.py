@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .devconst import device_const
+from .devconst import device_const, host_const
 from .shape import node_lattice
 
 
@@ -130,7 +130,7 @@ def make_apply_parity(element_matrix: np.ndarray, n: int, nc: int,
                       precision=lax.Precision.HIGHEST):
     """Unconstrained Q2->Q2 operator apply, parity -> parity."""
     lat = node_lattice(2, 2)
-    Kr = device_const(_comp_major(element_matrix, nc, nc), dtype)
+    Kr = host_const(_comp_major(element_matrix, nc, nc), dtype)
 
     def apply_p(Xp):
         U = _gather_q2(Xp, n, nc, lat)
@@ -155,7 +155,7 @@ def make_apply_parity_local(element_matrix: np.ndarray, n: int, Ly: int,
     the caller ppermutes back.  Same gather/einsum/scatter as
     :func:`make_apply_parity`, restricted to the slab."""
     lat = node_lattice(2, 2)
-    Kr = device_const(_comp_major(element_matrix, nc, nc), dtype)
+    Kr = host_const(_comp_major(element_matrix, nc, nc), dtype)
 
     def apply_local(xl, nv):
         pieces = []
@@ -190,7 +190,7 @@ def make_coupling_parity(coupling_matrix: np.ndarray, n: int, nc: int,
     already contiguous slices of the (n+1, n+1) node grid."""
     lat_u = node_lattice(2, 2)
     lat_p = node_lattice(1, 2)
-    Cr = device_const(_comp_major(coupling_matrix, 1, nc), dtype)
+    Cr = host_const(_comp_major(coupling_matrix, 1, nc), dtype)
     g1 = n + 1
 
     def coupling_p(p):
@@ -213,7 +213,7 @@ def make_projection_parity(projection_matrix: np.ndarray, n: int, nc: int,
     lat_u = node_lattice(2, 2)
     lat_p = node_lattice(1, 2)
     C = projection_matrix.shape[0] // 4
-    Pr = device_const(_comp_major(projection_matrix, nc, C), dtype)
+    Pr = host_const(_comp_major(projection_matrix, nc, C), dtype)
     g1 = n + 1
 
     def projection_p(Xp):

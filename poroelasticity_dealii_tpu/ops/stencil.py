@@ -25,7 +25,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from .devconst import device_const
+from .devconst import host_const
 from jax import lax
 
 from ..ops.shape import node_lattice
@@ -132,10 +132,10 @@ def make_stencil_apply(element_matrix: np.ndarray, k_in: int, k_out: int,
                                          n_comp_in, n_comp_out, dim, ns,
                                          dtype, precision)
     gs_in = tuple(k_in * n + 1 for n in ns)
-    wg = device_const(_to_kernel(element_matrix, n_comp_in, k_in, dim),
+    wg = host_const(_to_kernel(element_matrix, n_comp_in, k_in, dim),
                       dtype)
     n_local_out = element_matrix.shape[0] // n_comp_out
-    ws = device_const(
+    ws = host_const(
         _scatter_kernel(n_comp_out, n_local_out, n_comp_out, k_out, dim),
         dtype)
 
@@ -162,7 +162,7 @@ def _make_q1_slices_apply(element_matrix: np.ndarray, dim: int, ns, dtype):
     K = np.asarray(element_matrix, np.float64)
     # local lex order (x fastest) -> per-axis offsets in (x, y[, z])
     offsets = [tuple((a >> d) & 1 for d in range(dim)) for a in range(2**dim)]
-    Kj = device_const(K, dtype)
+    Kj = host_const(K, dtype)
     rev = tuple(reversed(ns))                       # grid is (z, y, x)
 
     def cell_slice(off):
@@ -222,7 +222,7 @@ def _make_parity_matmul_apply(element_matrix: np.ndarray, k_in: int,
                      for c in range(nci) for node in range(n_nodes_in)])
     rows = np.array([node * nco + c
                      for c in range(nco) for node in range(n_nodes_out)])
-    Kr = device_const(K[np.ix_(rows, cols)], dtype)
+    Kr = host_const(K[np.ix_(rows, cols)], dtype)
     rev_ns = tuple(reversed(ns))                  # cells per axis (z, y, x)
     gs_in = tuple(k_in * n + 1 for n in rev_ns)
     g_out = tuple(k_out * n + 1 for n in rev_ns)

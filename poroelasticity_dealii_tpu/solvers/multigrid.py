@@ -36,7 +36,7 @@ from ..mesh.generator import hyper_rectangle
 from ..mesh.qk import build_fe_space
 from ..mesh.structured import build_structured_space, structured_mesh
 from ..ops import dense
-from ..ops.devconst import device_const
+from ..ops.devconst import host_const
 from ..ops.shape import node_lattice, shape_tables
 from ..ops.stencil import (_scatter_kernel, _to_kernel, conv_cellwise,
                            conv_scatter, make_stencil_apply)
@@ -293,7 +293,7 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
                                lower=lower, upper=upper)
         space, _ = build_structured_space(mesh, n, degree)
         free_np = free_mask_fn(mesh, space, n_comp)
-        free = device_const(free_np.astype(np.float64), dtype)
+        free = host_const(free_np.astype(np.float64), dtype)
         Ke = element_matrix_fn(n)
         raw = make_stencil_apply(Ke, degree, degree, n_comp, n_comp, dim, n,
                                  dtype, precision=prec)
@@ -306,7 +306,7 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
                   np.broadcast_to(np.diag(Ke),
                                   (conn.shape[0], n_local)).reshape(-1))
         diag_np = np.where(free_np, diag_np, 1.0)
-        inv_diag = device_const(1.0 / diag_np, dtype)
+        inv_diag = host_const(1.0 / diag_np, dtype)
         # rigorous Gershgorin-type upper bound on lmax(D^{-1} A): an
         # UNDERestimate (e.g. a short power iteration) makes the Chebyshev
         # smoother AMPLIFY top modes and the V-cycle diverges on iteration
@@ -329,14 +329,14 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
                                         to_parity, to_parity_np)
             raw_l = make_apply_parity(Ke, n, n_comp, dtype, precision=prec)
             # setup constants host-side (to_parity_np): zero eager compiles
-            mask_l = device_const(to_parity_np(free_np.astype(np.float64),
+            mask_l = host_const(to_parity_np(free_np.astype(np.float64),
                                                n, n_comp), dtype)
 
             def apply_l(xp, _r=raw_l, _m=mask_l):
                 return _m * _r(xp * _m) + (1.0 - _m) * xp
 
             lev.apply_l = apply_l
-            lev.inv_diag_l = device_const(
+            lev.inv_diag_l = host_const(
                 to_parity_np(1.0 / diag_np, n, n_comp), dtype)
             lev.lto = (lambda v, _n=n, _c=n_comp: to_parity(v, _n, _c))
             lev.lfrom = (lambda v, _n=n, _c=n_comp: from_parity(v, _n, _c))
@@ -359,12 +359,12 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
         elif l > 0:
             nc = n
             nf = 2 * nc
-            ident_k = device_const(
+            ident_k = host_const(
                 _to_kernel(np.eye(n_local), n_comp, degree, dim), dtype)
-            scat = device_const(
+            scat = host_const(
                 _scatter_kernel(n_comp, (degree + 1) ** dim, n_comp, degree,
                                 dim), dtype)
-            Es = device_const(E, dtype)
+            Es = host_const(E, dtype)
             g_c = degree * nc + 1
             g_f = degree * nf + 1
 
@@ -384,7 +384,7 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
             mult_np = _prolong_multiplicity_np(
                 E, prev_conn, nf, dim, n_comp,
                 levels[l - 1].free_mask.shape[0])
-            inv_mult = device_const(1.0 / mult_np, dtype)
+            inv_mult = host_const(1.0 / mult_np, dtype)
 
             def raw_r(yf, _Es=Es, _ik=ident_k, _s=scat, _nc=nc, _nf=nf,
                       _gf=g_f):
@@ -432,7 +432,7 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
     Kg[~free_c, :] = 0.0
     Kg[:, ~free_c] = 0.0
     Kg[np.ix_(~free_c, ~free_c)] = np.eye((~free_c).sum())
-    coarse_inv = device_const(np.linalg.inv(Kg), dtype)
+    coarse_inv = host_const(np.linalg.inv(Kg), dtype)
 
     def coarse_solve(r):
         # full precision: the TPU's default bf16 matmul destroys the exact
