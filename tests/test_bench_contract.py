@@ -40,6 +40,7 @@ def _representative_headline():
 
 def test_headline_fits_capture_window(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(bench, "DETAIL_FILE", str(tmp_path / "detail.json"))
+    monkeypatch.setattr(bench, "CACHE_FILE", str(tmp_path / "cache.json"))
     line = bench.emit(_representative_headline(),
                       {"utilization": {"op": {"ms": 1.0}}})
     assert len(line) <= bench.HEADLINE_MAX_BYTES
@@ -107,6 +108,7 @@ def test_backend_name_reports_selected_path():
 def test_oversized_headline_degrades_not_breaks(tmp_path, monkeypatch,
                                                 capsys):
     monkeypatch.setattr(bench, "DETAIL_FILE", str(tmp_path / "detail.json"))
+    monkeypatch.setattr(bench, "CACHE_FILE", str(tmp_path / "cache.json"))
     headline = _representative_headline()
     headline["giant"] = "x" * 5000           # would overflow the capture
     line = bench.emit(headline, {})
@@ -116,3 +118,33 @@ def test_oversized_headline_degrades_not_breaks(tmp_path, monkeypatch,
     assert parsed["value"] == 7777.77         # ...required keys survive
     saved = json.loads((tmp_path / "detail.json").read_text())
     assert saved["giant"] == "x" * 5000
+
+
+def test_emit_writes_detail_sidecar_cache_isolated(tmp_path, monkeypatch):
+    """emit() must persist the headline for the stale-first-line layer."""
+    monkeypatch.setattr(bench, "DETAIL_FILE", str(tmp_path / "detail.json"))
+    monkeypatch.setattr(bench, "CACHE_FILE", str(tmp_path / "cache.json"))
+    bench.emit(_representative_headline(), {})
+    saved = json.loads((tmp_path / "cache.json").read_text())
+    assert saved["last_headline"]["value"] == 7777.77
+    assert saved["last_headline"]["measured_at"]
+
+
+def test_stale_headline_layer(tmp_path, monkeypatch, capsys):
+    """A wedged run still leaves a parseable LAST stdout line: the
+    previous run's headline, flagged stale with its measured_at stamp
+    (the tunnel's first d2h pull stall is unbounded in the tail —
+    observed wedged past 10 min twice on 2026-08-20)."""
+    monkeypatch.setattr(bench, "DETAIL_FILE", str(tmp_path / "detail.json"))
+    monkeypatch.setattr(bench, "CACHE_FILE", str(tmp_path / "cache.json"))
+    bench._emit_stale_headline()                   # empty cache: no line
+    assert capsys.readouterr().out == ""
+    bench.emit(_representative_headline(), {})
+    capsys.readouterr()
+    bench._emit_stale_headline()
+    line = capsys.readouterr().out.strip()
+    assert len(line) <= bench.HEADLINE_MAX_BYTES + 80
+    parsed = json.loads(line)
+    assert parsed["stale"] is True
+    assert parsed["value"] == 7777.77
+    assert parsed["measured_at"]
