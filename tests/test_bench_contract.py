@@ -56,6 +56,7 @@ def test_headline_fits_capture_window(tmp_path, monkeypatch, capsys):
 def test_emit_writes_detail_sidecar(tmp_path, monkeypatch):
     detail_file = tmp_path / "detail.json"
     monkeypatch.setattr(bench, "DETAIL_FILE", str(detail_file))
+    monkeypatch.setattr(bench, "CACHE_FILE", str(tmp_path / "cache.json"))
     big = {"utilization": {f"op{i}": {"ms": i} for i in range(40)},
            "chained_reps_ms": [1.0, 2.0, 3.0]}
     bench.emit(_representative_headline(), big)
