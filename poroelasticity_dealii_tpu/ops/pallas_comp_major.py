@@ -964,6 +964,280 @@ def make_projection_rows(projection_matrix: np.ndarray, n: int,
     return projection_rows
 
 
+def _kernel_coupling(nv_ref, planes_hbm, ce_ref, lmask_ref, out_ref,
+                     scratch, carry, ops, sem, *, n: int, tc: int, W: int,
+                     n_blocks: int):
+    """Coupling RHS assembled fully in-kernel: Q1 pressure PLANES in,
+    comp-major u rows out (verdict-r4 #6 — the jnp form's 81 HBM pad+adds
+    were 0.218 ms @ 34 GB/s at 40^3; in-VMEM the scatter is the apply
+    kernel's measured ~17 us).
+
+    Input layout: row z = the flat (n+1, n+1) Q1 plane z (lane = y*(n+1)
+    + x, zero-padded to W) — so the 8 per-cell-layer operand rows are
+    plain lane-shifted slices ``sl[zr + oz, oy*(n+1)+ox : .. + Lc]``
+    (phantom x-column masked, exactly the Q2 lane trick one degree down).
+    Then ONE (81, 8) @ (8, Lc) MXU pass per cell layer and the v2
+    interval-plan scatter + carry into non-overlapping output tiles.
+    ``ce_ref``: (81, 8) element matrix, ROWS pre-permuted to the interval
+    plan's traversal order (cols stay in x-fastest Q1 node order, the
+    gather order)."""
+    k = pl.program_id(0)
+    parity = lambda j: jax.lax.bitwise_and(j, jnp.int32(1))  # noqa: E731
+    # slab rows padded to a sublane multiple: Mosaic rejects memref views
+    # whose sliced dim isn't 8-aligned ("Slice shape along dimension 0
+    # must be aligned to tiling (8)"), and tc+1 rarely is.  The extra
+    # rows DMA real (zero-padded) input planes and are never gathered.
+    S = -(-(tc + 1) // 8) * 8
+
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(
+            planes_hbm.at[pl.ds(j * tc, S)], scratch.at[slot],
+            sem.at[slot])
+
+    @pl.when(k == 0)
+    def _():
+        get_dma(jnp.int32(0), jnp.int32(0)).start()
+
+    @pl.when(k + 1 < n_blocks)
+    def _():
+        get_dma(parity(k + 1), k + 1).start()
+
+    @pl.when(k < n_blocks)
+    def _compute():
+        get_dma(parity(k), k).wait()
+        sl = scratch.at[parity(k)]
+
+        Lc = n * (n + 1)
+        plan, _ = _interval_plan(n)
+        lat_p = node_lattice(1, 3)
+        m = lmask_ref[...]                              # (1, W)
+        Ce = ce_ref[...]                                # (81, 8)
+
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[0:24, :] += carry[...]
+        carry[...] = jnp.zeros_like(carry)
+
+        for zr in range(tc):                            # cell layer
+            for i_p in range(8):
+                ox, oy, oz = (int(lat_p[i_p, 0]), int(lat_p[i_p, 1]),
+                              int(lat_p[i_p, 2]))
+                sp = oy * (n + 1) + ox
+                ops[i_p:i_p + 1, 0:Lc] = sl[zr + oz:zr + oz + 1,
+                                            sp:sp + Lc]
+            ye = jnp.dot(Ce, ops[0:8, 0:Lc],
+                         preferred_element_type=out_ref.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
+            ye = ye * m[:, :Lc]                         # phantom columns
+            valid = (k * tc + zr < nv_ref[0]).astype(out_ref.dtype)
+            ye = ye * valid                             # phantom layers
+            row = 0
+            for (shift, col0, ivs) in plan:
+                for (dz, r0, cnt) in ivs:
+                    blk = ye[row:row + cnt]
+                    row += cnt
+                    if zr + dz < tc:
+                        r = (zr + dz) * 24 + r0
+                        out_ref[r:r + cnt, shift:shift + Lc] += blk
+                    else:                               # zr=tc-1, dz=1
+                        carry[r0:r0 + cnt, shift:shift + Lc] += blk
+
+    @pl.when(k == n_blocks)
+    def _flush():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[0:24, :] = carry[...]
+
+
+def make_coupling_rows_pallas(coupling_matrix: np.ndarray, n: int,
+                              dtype=jnp.float32, tc: int = None,
+                              interpret: bool = False):
+    """Pallas production form of :func:`make_coupling_rows` (same
+    signature/semantics; that jnp form is kept as the index-math oracle —
+    tests/test_pallas.py asserts bit-level agreement).
+
+    ``tc`` is forced to 8 (or n when n < 8, a single block): the input
+    planes are ONE row per z, so the slab DMA offset ``j*tc`` must itself
+    be 8-sublane aligned (Mosaic: "Failed to prove that a tile index in
+    dimension 0 is divisible by the tiling (8)"); the u-rows kernels
+    never see this because their offsets carry the *24 row factor."""
+    tc = 8 if n >= 8 else n
+    W = _width(n)
+    g1 = n + 1
+    _, perm = _interval_plan(n)
+    Ce = host_const(np.asarray(coupling_matrix)[perm, :], dtype)  # (81, 8)
+    mask = host_const(_lane_mask_np(n), dtype)
+    n_blocks = math.ceil(n / tc)
+    S = -(-(tc + 1) // 8) * 8                           # padded slab rows
+    z_pad = n_blocks * tc + S                           # input Q1 planes
+    kern = partial(_kernel_coupling, n=n, tc=tc, W=W, n_blocks=n_blocks)
+
+    zero1 = lambda k: (jnp.int32(0),)                      # noqa: E731
+    zero2 = lambda k: (jnp.int32(0), jnp.int32(0))         # noqa: E731
+    outmap = lambda k: (k, jnp.int32(0))                   # noqa: E731
+
+    @jax.jit
+    def coupling_rows(p_flat):
+        nv = jnp.full((1,), n, jnp.int32)
+        P = p_flat.astype(dtype).reshape(g1, g1 * g1)
+        P = jnp.pad(P, ((0, z_pad - g1), (0, W - g1 * g1)))
+        out = pl.pallas_call(
+            kern,
+            grid=(n_blocks + 1,),
+            in_specs=[
+                pl.BlockSpec((1,), zero1, memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((81, 8), zero2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, W), zero2, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tc * 24, W), outmap,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                ((n_blocks + 1) * tc * 24, W), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, S, W), dtype),
+                pltpu.VMEM((24, W), dtype),
+                pltpu.VMEM((8, W), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(nv, P, Ce, mask)
+        return out[:(n + 1) * 24]
+
+    return coupling_rows
+
+
+def _kernel_projection(nv_ref, rows_hbm, pe_ref, lmask_ref, out_ref,
+                       scratch, carry, ops, sem, *, n: int, tc: int,
+                       W: int, n_blocks: int, C: int):
+    """Strain-projection RHS fully in-kernel: u rows in, Q1 VOIGT planes
+    out (verdict-r4 #6 — the jnp form was 0.468 ms @ 19 GB/s at 40^3,
+    dominated by the (24 <-> n+1) HBM transpose + 8 grid pad+adds).
+
+    Same input slab DMA + interval-plan gather as the v2 apply (one
+    (C*8, 81) @ (81, Lc) MXU pass per cell layer), but the scatter lands
+    in the Q1 plane layout: output row z*8 + c = flat (n+1, n+1) VOIGT-c
+    plane z (channel rows PADDED C -> 8 per plane so output tiles and
+    the carry stay 8-sublane aligned; the wrapper drops the pad rows),
+    each of the 8 Q1 local nodes one lane-shifted (C, Lc) block add; the
+    oz=1 tail flows through the (8, W) carry exactly as v2's.
+    ``pe_ref``: (C*8, 81) element matrix, rows (i_p*C + c), COLS
+    pre-permuted to the interval plan order."""
+    k = pl.program_id(0)
+    parity = lambda j: jax.lax.bitwise_and(j, jnp.int32(1))  # noqa: E731
+
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(j * tc * 24, (tc + 1) * 24)],
+            scratch.at[slot], sem.at[slot])
+
+    @pl.when(k == 0)
+    def _():
+        get_dma(jnp.int32(0), jnp.int32(0)).start()
+
+    @pl.when(k + 1 < n_blocks)
+    def _():
+        get_dma(parity(k + 1), k + 1).start()
+
+    @pl.when(k < n_blocks)
+    def _compute():
+        get_dma(parity(k), k).wait()
+        sl = scratch.at[parity(k)]
+
+        Lc = n * (n + 1)
+        plan, _ = _interval_plan(n)
+        lat_p = node_lattice(1, 3)
+        m = lmask_ref[...]                              # (1, W)
+        Pe = pe_ref[...]                                # (C*8, 81)
+
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[0:8, :] += carry[...]
+        carry[...] = jnp.zeros_like(carry)
+
+        for zr in range(tc):                            # cell layer
+            ye = _gather_one_matmul(sl, ops, Pe, plan, zr, Lc,
+                                    out_ref.dtype)      # (C*8, Lc)
+            ye = ye * m[:, :Lc]                         # phantom columns
+            valid = (k * tc + zr < nv_ref[0]).astype(out_ref.dtype)
+            ye = ye * valid                             # phantom layers
+            for i_p in range(8):
+                ox, oy, oz = (int(lat_p[i_p, 0]), int(lat_p[i_p, 1]),
+                              int(lat_p[i_p, 2]))
+                sp = oy * (n + 1) + ox
+                blk = ye[i_p * C:(i_p + 1) * C]
+                if zr + oz < tc:
+                    r = (zr + oz) * 8
+                    out_ref[r:r + C, sp:sp + Lc] += blk
+                else:                                   # zr=tc-1, oz=1
+                    carry[0:C, sp:sp + Lc] += blk
+
+    @pl.when(k == n_blocks)
+    def _flush():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[0:8, :] = carry[...]
+
+
+def make_projection_rows_pallas(projection_matrix: np.ndarray, n: int,
+                                dtype=jnp.float32, tc: int = None,
+                                interpret: bool = False):
+    """Pallas production form of :func:`make_projection_rows` (same
+    signature/semantics; the jnp form stays as the oracle)."""
+    if tc is None:
+        tc = default_tc(n, dtype)
+    W = _width(n)
+    g1 = n + 1
+    _, perm = _interval_plan(n)
+    Pe_np = np.asarray(projection_matrix)               # (C*8, 81)
+    C = Pe_np.shape[0] // 8
+    Pe = host_const(Pe_np[:, perm], dtype)
+    mask = host_const(_lane_mask_np(n), dtype)
+    tc = min(tc, n)
+    n_blocks = math.ceil(n / tc)
+    zh_pad = n_blocks * tc + 1                          # input z-half layers
+    kern = partial(_kernel_projection, n=n, tc=tc, W=W,
+                   n_blocks=n_blocks, C=C)
+
+    zero1 = lambda k: (jnp.int32(0),)                      # noqa: E731
+    zero2 = lambda k: (jnp.int32(0), jnp.int32(0))         # noqa: E731
+    outmap = lambda k: (k, jnp.int32(0))                   # noqa: E731
+
+    @jax.jit
+    def projection_rows(R):
+        nv = jnp.full((1,), n, jnp.int32)
+        Rp = jnp.pad(R[:(n + 1) * 24],
+                     ((0, (zh_pad - (n + 1)) * 24), (0, 0)))
+        out = pl.pallas_call(
+            kern,
+            grid=(n_blocks + 1,),
+            in_specs=[
+                pl.BlockSpec((1,), zero1, memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((C * 8, 81), zero2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, W), zero2, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tc * 8, W), outmap,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                ((n_blocks + 1) * tc * 8, W), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, (tc + 1) * 24, W), dtype),
+                pltpu.VMEM((8, W), dtype),
+                pltpu.VMEM((81, W), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(nv, Rp, Pe, mask)
+        # rows z*8 + c (pad rows dropped), lanes = flat (y, x) Q1 plane
+        G = out[:g1 * 8, :g1 * g1].reshape(g1, 8, g1 * g1)[:, :C]
+        return jnp.swapaxes(G, 0, 1).reshape(C, g1 ** 3)
+
+    return projection_rows
+
+
 @dataclasses.dataclass(frozen=True)
 class ElasticityRowOps:
     """The comp-major row layout as a persistent DOF-vector format.
@@ -1036,9 +1310,14 @@ def make_row_ops(element_matrix: np.ndarray, n: int, free_mask_u,
     diag_rows = device_const(
         to_rows_np(np.asarray(diag_elasticity, np.float64), n, fill=1.0),
         dtype)
-    cr = (make_coupling_rows(coupling_matrix, n, dtype)
+    # RHS assembly fully in-kernel (verdict-r4 #6): the jnp forms
+    # (make_coupling_rows / make_projection_rows) remain the index-math
+    # oracles and the sharded-slab building blocks (parallel/rows.py)
+    cr = (make_coupling_rows_pallas(coupling_matrix, n, dtype, tc=tc,
+                                    interpret=interpret)
           if coupling_matrix is not None else None)
-    pr = (make_projection_rows(projection_matrix, n, dtype)
+    pr = (make_projection_rows_pallas(projection_matrix, n, dtype, tc=tc,
+                                      interpret=interpret)
           if projection_matrix is not None else None)
     # v3 fused constrained apply: second DMA stream doubles the input
     # scratch, so its slab depth follows a more conservative VMEM model

@@ -411,3 +411,39 @@ def test_to_rows_np_matches_device():
     np.testing.assert_allclose(to_rows_np(v, n, fill=1.0), dev_diag,
                                rtol=0, atol=0)
     assert to_rows_np(v, n).shape == ((n + 1) * 24, _width(n))
+
+
+@pytest.mark.parametrize("n", [5, 9])
+def test_coupling_rows_pallas_matches_jnp_oracle(n):
+    """In-kernel coupling RHS (Q1 planes -> rows, `_kernel_coupling`) ==
+    the jnp index-math oracle, across the slab carry and flush tiles
+    (n=9 forces tc=8 -> 2 blocks; interpret mode, f32)."""
+    from poroelasticity_dealii_tpu.ops.pallas_comp_major import (
+        make_coupling_rows, make_coupling_rows_pallas)
+    rng = np.random.default_rng(0)
+    Ce = rng.standard_normal((81, 8))
+    p = jnp.asarray(rng.standard_normal((n + 1) ** 3), jnp.float32)
+    ref = make_coupling_rows(Ce, n, jnp.float32)(p)
+    got = make_coupling_rows_pallas(Ce, n, jnp.float32, interpret=True)(p)
+    err = (np.abs(np.asarray(got - ref)).max()
+           / np.abs(np.asarray(ref)).max())
+    assert err < 1e-6, err
+
+
+@pytest.mark.parametrize("n,tc", [(5, 2), (5, 3), (9, 4)])
+def test_projection_rows_pallas_matches_jnp_oracle(n, tc):
+    """In-kernel strain-projection RHS (rows -> Q1 VOIGT planes,
+    `_kernel_projection`) == the jnp oracle, across the oz=1 carry, the
+    flush tile, and the padded channel rows (interpret mode, f32)."""
+    from poroelasticity_dealii_tpu.ops.pallas_comp_major import (
+        make_projection_rows, make_projection_rows_pallas, to_rows)
+    rng = np.random.default_rng(1)
+    Pe = rng.standard_normal((48, 81))
+    u = jnp.asarray(rng.standard_normal((2 * n + 1) ** 3 * 3), jnp.float32)
+    R = to_rows(u, n)
+    ref = make_projection_rows(Pe, n, jnp.float32)(R)
+    got = make_projection_rows_pallas(Pe, n, jnp.float32, tc=tc,
+                                      interpret=True)(R)
+    err = (np.abs(np.asarray(got - ref)).max()
+           / np.abs(np.asarray(ref)).max())
+    assert err < 1e-6, err
