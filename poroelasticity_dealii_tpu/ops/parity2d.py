@@ -181,6 +181,144 @@ def make_apply_parity_local(element_matrix: np.ndarray, n: int, Ly: int,
     return apply_local
 
 
+# ---------------------------------------------------------------------------
+# parity-resident Q2 grid transfers (GMG level boundaries)
+# ---------------------------------------------------------------------------
+#
+# Round-5 measurement: the parity-GMG V-cycle at 512^2 cost 16.5 ms vs a
+# 0.169 ms fine apply — ~100x its floor — because the level TRANSFERS still
+# ran the flat conv_cellwise/conv_scatter forms (the tiny-channel ~2 GB/s
+# regime this module exists to escape), plus lfrom/lto at every level.
+# These transfers keep the whole V-cycle in parity layout: one coarse-cell
+# gather, ONE (25*nc, 9*nc) MXU matmul, one scatter — same dataflow as the
+# apply, one degree up.
+#
+# Geometry: fine node o in 0..4 per axis within a coarse cell (global fine
+# node coord 4*cc + o) has fine parity class p = o % 2 and in-class index
+# i = 2*cc + j, j = o // 2.  Splitting i = 2q + r ("quad-parity") makes the
+# per-coarse-cell scatter CONTIGUOUS: q = cc + (j >> 1), r = j & 1 — i.e.
+# a plain pad+add into the (q, r)-split class array, exactly `_scatter_q2`
+# one level up.  The (q, r) split itself is ONE pad+reshape+transpose
+# (XLA memory-speed, same argument as `to_parity`).
+
+_O2QUAD = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0), (0, 0, 1)]
+#           o=0        o=1        o=2        o=3        o=4
+#          (class p, sub-index r, pad offset s) per fine local offset
+
+
+def _q2_refine_matrix() -> np.ndarray:
+    """(25, 9) coarse-Q2 nodal interpolation onto the 5x5 fine nodes of
+    one coarse cell (both sides x-fastest lex; fine node f at reference
+    coords (fx/4, fy/4), coarse 1D Q2 nodes at 0, 1/2, 1)."""
+    pts = np.linspace(0.0, 1.0, 5)
+    phi = np.stack([2.0 * (pts - 0.5) * (pts - 1.0),
+                    4.0 * pts * (1.0 - pts),
+                    2.0 * pts * (pts - 0.5)])           # (3 nodes, 5 pts)
+    M = np.zeros((25, 9))
+    for f in range(25):
+        fy, fx = f // 5, f % 5
+        for c in range(9):
+            cy, cx = c // 3, c % 3
+            M[f, c] = phi[cy, fy] * phi[cx, fx]
+    return M
+
+
+def to_quad(Xf, n_coarse: int, nc: int):
+    """Fine parity (nc, 2, 2, nF+1, nF+1) -> quad-parity
+    (nc, 2py, 2px, 2ry, 2rx, nC+1, nC+1), in-class index i = 2q + r."""
+    Q = jnp.pad(Xf, ((0, 0),) * 3 + ((0, 1), (0, 1)))
+    Q = Q.reshape(Xf.shape[:3] + (n_coarse + 1, 2, n_coarse + 1, 2))
+    return Q.transpose(0, 1, 2, 4, 6, 3, 5)
+
+
+def from_quad(Q, n_coarse: int, nc: int):
+    """Exact inverse of :func:`to_quad` (drops the zero padding)."""
+    nF = 2 * n_coarse
+    X = Q.transpose(0, 1, 2, 5, 3, 6, 4).reshape(
+        Q.shape[:3] + (2 * n_coarse + 2, 2 * n_coarse + 2))
+    return X[:, :, :, :nF + 1, :nF + 1]
+
+
+def make_parity_transfers(n_coarse: int, nc: int, dtype=jnp.float32,
+                          precision=lax.Precision.HIGHEST):
+    """Raw (unmasked, multiplicity-unnormalized) Q2 GMG transfers fully in
+    parity layout: returns ``(raw_prolong, raw_restrict, mult_np)`` with
+
+    * ``raw_prolong``: coarse parity -> fine parity, per-coarse-cell
+      scatter-add of the 25 interpolated fine-node values (duplicated at
+      coarse-cell-shared fine nodes — divide by ``mult_np``);
+    * ``raw_restrict``: its EXACT transpose (fine parity -> coarse);
+    * ``mult_np``: host-numpy per-fine-entry contribution count in parity
+      layout (``raw_prolong(ones)``; 0 at the class-1 padding entries).
+
+    The caller composes the GMG-standard P = diag(ff/mult) raw_p diag(cf)
+    and R = P^T, matching multigrid.build_gmg's flat transfers exactly
+    (both are coarse-Q2 nodal interpolation with the same masks)."""
+    lat = node_lattice(2, 2)
+    nC = n_coarse
+    M = _q2_refine_matrix()                             # (25, 9)
+    Mc = host_const(np.kron(np.eye(nc), M), dtype)      # comp-major
+    McT = host_const(np.kron(np.eye(nc), M.T), dtype)
+
+    def raw_prolong(Xc):
+        U = _gather_q2(Xc, nC, nc, lat)                 # (nc*9, nC^2)
+        Ye = jnp.einsum("oi,ie->oe", Mc, U,
+                        precision=precision).reshape(nc, 25, nC, nC)
+        acc = [[[[None, None] for _ in range(2)] for _ in range(2)]
+               for _ in range(2)]                       # [py][px][ry][rx]
+        for f in range(25):
+            oy, ox = f // 5, f % 5
+            py, ry, sy = _O2QUAD[oy]
+            px, rx, sx = _O2QUAD[ox]
+            P = jnp.pad(Ye[:, f], ((0, 0), (sy, 1 - sy), (sx, 1 - sx)))
+            cur = acc[py][px][ry][rx]
+            acc[py][px][ry][rx] = P if cur is None else cur + P
+        # every (py, px, ry, rx) slot gets a contribution (all 4 (p, r)
+        # axis combos are hit by some o), so no None handling needed
+        Q = jnp.stack(
+            [jnp.stack(
+                [jnp.stack([jnp.stack(acc[py][px][ry], 1)
+                            for ry in range(2)], 1)
+                 for px in range(2)], 1)
+             for py in range(2)], 1)     # (nc, py, px, ry, rx, nC+1, nC+1)
+        return from_quad(Q, nC, nc)
+
+    def raw_restrict(Rf):
+        Q = to_quad(Rf, nC, nc)
+        pieces = []
+        for f in range(25):
+            oy, ox = f // 5, f % 5
+            py, ry, sy = _O2QUAD[oy]
+            px, rx, sx = _O2QUAD[ox]
+            pieces.append(Q[:, py, px, ry, rx, sy:sy + nC, sx:sx + nC])
+        U = jnp.stack(pieces, 1).reshape(nc * 25, nC * nC)
+        Zc = jnp.einsum("oi,ie->oe", McT, U,
+                        precision=precision).reshape(nc, 9, nC, nC)
+        return _scatter_q2(Zc, nC, nc, lat)
+
+    # multiplicity: the same scatter with per-node all-ones blocks, in
+    # host numpy (setup-time constant; eager device eval was the round-4
+    # GMG compile storm)
+    mult = np.zeros((nc, 2, 2, 2, 2, nC + 1, nC + 1))
+    ones = np.ones((nC, nC))
+    for f in range(25):
+        oy, ox = f // 5, f % 5
+        py, ry, sy = _O2QUAD[oy]
+        px, rx, sx = _O2QUAD[ox]
+        mult[:, py, px, ry, rx] += np.pad(ones,
+                                          ((sy, 1 - sy), (sx, 1 - sx)))
+    nF = 2 * nC
+    mult = mult.transpose(0, 1, 2, 5, 3, 6, 4).reshape(
+        nc, 2, 2, 2 * nC + 2, 2 * nC + 2)[:, :, :, :nF + 1, :nF + 1]
+    # class-1 padding entries (in-class index nF) received spurious
+    # counts from the (q, r) fold only if any scatter reached index nF —
+    # class 1 tops out at 2(nC-1)+1 = nF-1, class 0 at nF, so zero the
+    # class-1 pad row/col explicitly for a clean 0-at-padding contract
+    mult[:, 1, :, nF, :] = 0.0
+    mult[:, :, 1, :, nF] = 0.0
+    return raw_prolong, raw_restrict, mult
+
+
 def make_coupling_parity(coupling_matrix: np.ndarray, n: int, nc: int,
                          dtype=jnp.float32,
                          precision=lax.Precision.HIGHEST):

@@ -255,6 +255,12 @@ class _Level:
     lfrom: Callable = None     # layout -> flat
     apply_l: Callable = None   # Dirichlet-masked apply, layout -> layout
     inv_diag_l: jnp.ndarray = None
+    # layout-resident transfers (round 5): when this level AND the next
+    # are layout-resident, the V-cycle recursion never leaves the layout
+    # (the flat conv transfers measured 16.5 ms/V-cycle at 512^2 — ~100x
+    # the 0.169 ms fine apply; see ops/parity2d.make_parity_transfers)
+    prolong_l: Callable = None   # next-coarser layout -> this layout
+    restrict_l: Callable = None  # this layout -> next-coarser layout
 
 
 def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
@@ -409,8 +415,35 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
 
             levels[l - 1].prolong = prolong
             levels[l - 1].restrict = restrict
+            if levels[l - 1].apply_l is not None and lev.apply_l is not None:
+                # both level endpoints are parity-resident: give the FINE
+                # level layout-resident transfers so the V-cycle recursion
+                # never leaves parity layout (same P/R operators — coarse
+                # Q2 nodal interpolation and its exact transpose with the
+                # same masks — only the dataflow changes)
+                from ..ops.parity2d import (make_parity_transfers,
+                                            to_parity_np)
+                raw_pp, raw_rp, mult_p = make_parity_transfers(
+                    nc, n_comp, dtype, precision=FULL)
+                ffp = to_parity_np(prev_free_np.astype(np.float64),
+                                   nf, n_comp)
+                wp = host_const(
+                    np.where(mult_p > 0, ffp / np.maximum(mult_p, 1.0),
+                             0.0), dtype)
+                cfp = host_const(to_parity_np(free_np.astype(np.float64),
+                                              nc, n_comp), dtype)
+
+                def prolong_l(xc, _p=raw_pp, _w=wp, _cf=cfp):
+                    return _p(xc * _cf) * _w
+
+                def restrict_l(rf, _r=raw_rp, _w=wp, _cf=cfp):
+                    return _r(rf * _w) * _cf
+
+                levels[l - 1].prolong_l = prolong_l
+                levels[l - 1].restrict_l = restrict_l
         prev_conn = conn          # this level's connectivity: the FINE side
         #                           of the next level's transfer multiplicity
+        prev_free_np = free_np
 
     # coarsest: dense inverse of the masked operator (host, float64)
     n_c = sizes[-1]
@@ -448,18 +481,28 @@ def build_gmg(data: InputData, n_fine: int, n_levels: int, dtype,
         lmin = lev.lmax / 8.0   # smooth the upper spectrum only
         if lev.apply_l is not None:
             # resident-layout level: both smoother sweeps and their
-            # residuals run inside the layout; only the transfer operands
-            # cross the boundary (dots/axpys are layout-exact, see
-            # ops/parity2d.py)
+            # residuals run inside the layout; with layout-resident
+            # transfers (prolong_l/restrict_l) the recursion itself stays
+            # in the layout and only the coarsest-parity boundary converts
+            # (dots/axpys are layout-exact, see ops/parity2d.py)
             rp = r if r_in_layout else lev.lto(r)
             x = chebyshev_smooth(lev.apply_l, lev.inv_diag_l, rp, deg,
                                  lev.lmax, lmin)
-            rc = lev.restrict(lev.lfrom(rp - lev.apply_l(x)))
-            xc = vcycle(l + 1, rc)
+            res_p = rp - lev.apply_l(x)
             nxt = levels[l + 1]
-            for _ in range(cycle - 1):
-                xc = xc + vcycle(l + 1, rc - nxt.apply(xc))
-            x = x + lev.lto(lev.prolong(xc))
+            if lev.restrict_l is not None:
+                rc = lev.restrict_l(res_p)              # coarse, in-layout
+                xc = vcycle(l + 1, rc, r_in_layout=True)
+                for _ in range(cycle - 1):
+                    xc = xc + vcycle(l + 1, rc - nxt.apply_l(xc),
+                                     r_in_layout=True)
+                x = x + lev.prolong_l(xc)
+            else:
+                rc = lev.restrict(lev.lfrom(res_p))
+                xc = vcycle(l + 1, rc)
+                for _ in range(cycle - 1):
+                    xc = xc + vcycle(l + 1, rc - nxt.apply(xc))
+                x = x + lev.lto(lev.prolong(xc))
             x = x + chebyshev_smooth(lev.apply_l, lev.inv_diag_l,
                                      rp - lev.apply_l(x), deg, lev.lmax,
                                      lmin)

@@ -244,3 +244,34 @@ def test_multiplicity_numpy_matches_device():
         host = _prolong_multiplicity_np(E, conn, nf, dim, n_comp,
                                         n_comp * (degree * nf + 1) ** dim)
         np.testing.assert_allclose(host, device, rtol=1e-13, atol=0.0)
+
+
+def test_parity_resident_transfers_match_flat_vcycle():
+    """The parity-resident GMG transfers (ops/parity2d.make_parity_transfers
+    — round-5 V-cycle cost fix) implement the SAME P/R operators as the
+    flat conv-form transfers: the full V-cycle preconditioner output with
+    parity_layout=True matches parity_layout=False to f64 roundoff.
+    n_levels=3 forces a parity->parity level boundary (levels 0 and 1 are
+    both parity-resident) plus the parity->flat coarsest boundary."""
+    data = read_input_file(GOLDEN)
+    n = 8
+    disc = build_grid_discretization(data, cells_per_axis=n,
+                                     multigrid="off")
+    p_flat, _ = build_gmg_elasticity(data, n_fine=n, n_levels=3,
+                                     dtype=np.float64, parity_layout=False)
+    p_par, levels = build_gmg_elasticity(data, n_fine=n, n_levels=3,
+                                         dtype=np.float64,
+                                         parity_layout=True)
+    assert levels[0].prolong_l is not None      # the new path is active
+    assert levels[1].apply_l is not None
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.standard_normal(disc.n_udofs)) * disc.free_mask_u
+    a = np.asarray(p_flat(r))
+    b = np.asarray(p_par(r))
+    np.testing.assert_allclose(b, a, rtol=1e-11,
+                               atol=1e-13 * np.abs(a).max())
+    # the layout-resident entry point agrees too
+    from poroelasticity_dealii_tpu.ops.parity2d import from_parity, to_parity
+    c = np.asarray(from_parity(p_par.rows(to_parity(r, n, 2)), n, 2))
+    np.testing.assert_allclose(c, a, rtol=1e-11,
+                               atol=1e-13 * np.abs(a).max())
