@@ -191,7 +191,10 @@ def make_apply_parity_local(element_matrix: np.ndarray, n: int, Ly: int,
 # regime this module exists to escape), plus lfrom/lto at every level.
 # These transfers keep the whole V-cycle in parity layout: one coarse-cell
 # gather, ONE (25*nc, 9*nc) MXU matmul, one scatter — same dataflow as the
-# apply, one degree up.
+# apply, one degree up.  All interleaves keep the minor dim large
+# (_ileave2/_ileave_lanes): the whole-array (q, r) quad transpose
+# materialized a minor-dim-2 layout that XLA copied at ~4 bytes/cycle
+# (1.0 ms of a 1.3 ms prolong at 512^2, HLO copy.66).
 #
 # Geometry: fine node o in 0..4 per axis within a coarse cell (global fine
 # node coord 4*cc + o) has fine parity class p = o % 2 and in-class index
@@ -204,6 +207,38 @@ def make_apply_parity_local(element_matrix: np.ndarray, n: int, Ly: int,
 _O2QUAD = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0), (0, 0, 1)]
 #           o=0        o=1        o=2        o=3        o=4
 #          (class p, sub-index r, pad offset s) per fine local offset
+
+
+def _ileave2(A0, A1, n_out):
+    """Interleave along the SECOND-minor axis: two (..., q, m) ->
+    (..., 2q, m) rows [A0_0, A1_0, A0_1, ...], truncated to ``n_out``
+    rows.  Minor dim untouched -> row-contiguous writes (the naive
+    whole-array (q, r) transpose materializes a minor-dim-2 layout that
+    XLA copies at ~4 bytes/cycle — measured 1.0 ms of a 1.3 ms prolong
+    at 512^2)."""
+    Q = jnp.stack([A0, A1], axis=-2)                # (..., q, 2, m)
+    Q = Q.reshape(A0.shape[:-2] + (2 * A0.shape[-2],) + A0.shape[-1:])
+    return Q[..., :n_out, :]
+
+
+def _dileave2(Y, q: int):
+    """Exact adjoint of :func:`_ileave2`: (..., n, m) -> two
+    (..., q, m) (zero-padding the odd tail row)."""
+    pad = [(0, 0)] * (Y.ndim - 2) + [(0, 2 * q - Y.shape[-2]), (0, 0)]
+    Q = jnp.pad(Y, pad).reshape(Y.shape[:-2] + (q, 2) + Y.shape[-1:])
+    return Q[..., 0, :], Q[..., 1, :]
+
+
+def _ileave_lanes(A0, A1, n_out):
+    """Interleave along the MINOR axis via transpose sandwiches: the two
+    swaps move a large dim (no minor-dim-2 intermediate)."""
+    Y = _ileave2(jnp.swapaxes(A0, -1, -2), jnp.swapaxes(A1, -1, -2), n_out)
+    return jnp.swapaxes(Y, -1, -2)
+
+
+def _dileave_lanes(Y, q: int):
+    A0, A1 = _dileave2(jnp.swapaxes(Y, -1, -2), q)
+    return jnp.swapaxes(A0, -1, -2), jnp.swapaxes(A1, -1, -2)
 
 
 def _q2_refine_matrix() -> np.ndarray:
@@ -221,22 +256,6 @@ def _q2_refine_matrix() -> np.ndarray:
             cy, cx = c // 3, c % 3
             M[f, c] = phi[cy, fy] * phi[cx, fx]
     return M
-
-
-def to_quad(Xf, n_coarse: int, nc: int):
-    """Fine parity (nc, 2, 2, nF+1, nF+1) -> quad-parity
-    (nc, 2py, 2px, 2ry, 2rx, nC+1, nC+1), in-class index i = 2q + r."""
-    Q = jnp.pad(Xf, ((0, 0),) * 3 + ((0, 1), (0, 1)))
-    Q = Q.reshape(Xf.shape[:3] + (n_coarse + 1, 2, n_coarse + 1, 2))
-    return Q.transpose(0, 1, 2, 4, 6, 3, 5)
-
-
-def from_quad(Q, n_coarse: int, nc: int):
-    """Exact inverse of :func:`to_quad` (drops the zero padding)."""
-    nF = 2 * n_coarse
-    X = Q.transpose(0, 1, 2, 5, 3, 6, 4).reshape(
-        Q.shape[:3] + (2 * n_coarse + 2, 2 * n_coarse + 2))
-    return X[:, :, :, :nF + 1, :nF + 1]
 
 
 def make_parity_transfers(n_coarse: int, nc: int, dtype=jnp.float32,
@@ -260,6 +279,8 @@ def make_parity_transfers(n_coarse: int, nc: int, dtype=jnp.float32,
     Mc = host_const(np.kron(np.eye(nc), M), dtype)      # comp-major
     McT = host_const(np.kron(np.eye(nc), M.T), dtype)
 
+    nF = 2 * nC
+
     def raw_prolong(Xc):
         U = _gather_q2(Xc, nC, nc, lat)                 # (nc*9, nC^2)
         Ye = jnp.einsum("oi,ie->oe", Mc, U,
@@ -274,23 +295,33 @@ def make_parity_transfers(n_coarse: int, nc: int, dtype=jnp.float32,
             cur = acc[py][px][ry][rx]
             acc[py][px][ry][rx] = P if cur is None else cur + P
         # every (py, px, ry, rx) slot gets a contribution (all 4 (p, r)
-        # axis combos are hit by some o), so no None handling needed
-        Q = jnp.stack(
-            [jnp.stack(
-                [jnp.stack([jnp.stack(acc[py][px][ry], 1)
-                            for ry in range(2)], 1)
-                 for px in range(2)], 1)
-             for py in range(2)], 1)     # (nc, py, px, ry, rx, nC+1, nC+1)
-        return from_quad(Q, nC, nc)
+        # axis combos are hit by some o); interleave the (q, r) splits
+        # back per axis (rows, then lanes via transpose sandwich)
+        cls = []
+        for py in range(2):
+            for px in range(2):
+                b = [_ileave2(acc[py][px][0][rx], acc[py][px][1][rx],
+                              nF + 1) for rx in range(2)]
+                cls.append(_ileave_lanes(b[0], b[1], nF + 1))
+        F = jnp.stack(cls, 1).reshape(nc, 2, 2, nF + 1, nF + 1)
+        return F
 
     def raw_restrict(Rf):
-        Q = to_quad(Rf, nC, nc)
+        pieces_by = {}
+        for py in range(2):
+            for px in range(2):
+                y0, y1 = _dileave_lanes(Rf[:, py, px], nC + 1)
+                q = [[None, None], [None, None]]
+                q[0][0], q[1][0] = _dileave2(y0, nC + 1)
+                q[0][1], q[1][1] = _dileave2(y1, nC + 1)
+                pieces_by[(py, px)] = q                 # [ry][rx]
         pieces = []
         for f in range(25):
             oy, ox = f // 5, f % 5
             py, ry, sy = _O2QUAD[oy]
             px, rx, sx = _O2QUAD[ox]
-            pieces.append(Q[:, py, px, ry, rx, sy:sy + nC, sx:sx + nC])
+            Q = pieces_by[(py, px)][ry][rx]
+            pieces.append(Q[:, sy:sy + nC, sx:sx + nC])
         U = jnp.stack(pieces, 1).reshape(nc * 25, nC * nC)
         Zc = jnp.einsum("oi,ie->oe", McT, U,
                         precision=precision).reshape(nc, 9, nC, nC)

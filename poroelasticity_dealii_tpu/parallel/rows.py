@@ -270,11 +270,31 @@ def shard_production_discretization(disc, device_mesh):
             device_mesh, dtype=disc.dtype,
             coupling_matrix=disc.element_ce,
             projection_matrix=disc.element_pe)
-        # the parity-resident GMG closures (when built) act on UNPADDED
-        # single-chip parity arrays; the sharded mechanics solve runs
-        # Jacobi-CG instead (sharded parity GMG: future work)
-        return dataclasses.replace(base, row_ops=row_ops,
+        new = dataclasses.replace(base, row_ops=row_ops,
                                    gmg_precond=None)
+        # parity-resident GMG rides along when the source disc built it
+        # (production 2D sizes NEED it: Jacobi-CG hits the iteration cap
+        # at 512^2).  The V-cycle closures act on UNPADDED single-chip
+        # parity arrays; this adapter slices the slab padding off, runs
+        # the V-cycle as a plain GSPMD computation on the sharded array
+        # (XLA chooses the collectives — the per-FSS-iteration Richardson
+        # preconditioner is not on the per-CG-iteration halo fast path),
+        # and pads/re-shards the correction.  Padding rows are constrained
+        # dofs with zero value, so a zero correction there is exact.
+        base_gmg = getattr(disc, "gmg_precond_rows", None)
+        if base_gmg is not None:
+            pad = device_mesh.devices.size \
+                * slab_layers(n, device_mesh.devices.size) - (n + 1)
+            spec = NamedSharding(device_mesh,
+                                 P(None, None, None, CELL_AXIS, None))
+
+            def gmg_rows_sharded(rp, _g=base_gmg, _n=n, _pad=pad,
+                                 _spec=spec):
+                z = _g(rp[:, :, :, :_n + 1, :])
+                z = jnp.pad(z, ((0, 0),) * 3 + ((0, _pad), (0, 0)))
+                return lax.with_sharding_constraint(z, _spec)
+            new.gmg_precond_rows = gmg_rows_sharded
+        return new
     interpret = jax.default_backend() != "tpu"
     row_ops = make_row_ops_sharded(
         disc.element_ke, n, disc.free_mask_u, disc.diag_elasticity,

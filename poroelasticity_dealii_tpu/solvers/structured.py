@@ -422,9 +422,18 @@ PARITY_AUTO_MIN_UDOFS = 150_000
 def _gmg_levels(n: int, dim: int, n_dofs: int, multigrid: str,
                 auto_threshold: int = 150_000, degree: int = 2,
                 n_comp: int = None) -> int:
-    """Pick the V-cycle depth: deepest hierarchy with divisible cell counts,
-    coarse grid >= 4 cells, and a dense-invertible coarsest level.  'auto'
-    enables GMG only when the problem is big enough to amortize setup."""
+    """Pick the V-cycle depth: the SHALLOWEST hierarchy (divisible cell
+    counts, coarse grid >= 4 cells) whose coarsest level is
+    dense-invertible (<= 8000 dofs).  'auto' enables GMG only when the
+    problem is big enough to amortize setup.
+
+    Shallowest, not deepest (round-5 change): below the dense-solve
+    threshold the exact inverse replaces the recursion, so fewer levels
+    can only improve the contraction — while each extra level adds a
+    near-constant ~80-100 XLA ops of smoother/transfer dispatch per
+    V-cycle (the 512^2 parity V-cycle was op-count-bound at 8.6 ms over
+    8 levels; 6 levels with the exact 16^2 coarse solve do the same
+    preconditioning work with 2 levels less dispatch)."""
     if multigrid in ("off", "false", False, None):
         return 1
     if multigrid == "auto" and n_dofs < auto_threshold:
@@ -442,4 +451,5 @@ def _gmg_levels(n: int, dim: int, n_dofs: int, multigrid: str,
             break
         if n_comp * (degree * nc + 1) ** dim <= 8000:
             best = L
+            break
     return best

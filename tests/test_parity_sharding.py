@@ -155,3 +155,30 @@ def test_2d_mech_cg_loop_collectives_are_halo_rows(dmesh):
     # total permute traffic is interface-scaled: far below one volume
     vol = ro.free_mask_rows.size * jnp.dtype(sdisc.dtype).itemsize
     assert sum(perms) < vol, (sum(perms), vol)
+
+
+def test_production_2d_step_1_vs_8_with_parity_gmg(dmesh):
+    """Sharded 2D production step WITH the parity-resident GMG
+    preconditioner attached (round-5: previously the sharded mechanics
+    fell back to Jacobi-CG, which caps out at production 2D sizes).  The
+    V-cycle runs as a GSPMD computation on the sharded parity arrays via
+    the pad/slice adapter (parallel/rows.py); 1-vs-8 equality must hold
+    and the preconditioner must actually be wired."""
+    data = read_input_file(DECK)
+    disc = build_grid_discretization(data, cells_per_axis=16,
+                                     multigrid="on",
+                                     elasticity_backend="parity")
+    assert getattr(disc, "gmg_precond_rows", None) is not None
+    sdisc = shard_production_discretization(disc, dmesh)
+    assert getattr(sdisc, "gmg_precond_rows", None) is not None
+    s1 = FixedStressSolver(disc, data)
+    s8 = FixedStressSolver(sdisc, data)
+    a1, t1 = s1.time_step(s1.initial_state(), data.time_step)
+    a8, t8 = s8.time_step(s8.initial_state(), data.time_step)
+    assert int(t8.mech_cg_iterations) > 0
+    np.testing.assert_allclose(np.asarray(a8.p), np.asarray(a1.p),
+                               rtol=1e-9)
+    a1u, a8u = s1.materialize_u(a1), s8.materialize_u(a8)
+    np.testing.assert_allclose(np.asarray(a8u.u), np.asarray(a1u.u),
+                               rtol=1e-8,
+                               atol=1e-10 * float(jnp.abs(a1u.u).max()))
