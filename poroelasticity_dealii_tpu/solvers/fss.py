@@ -695,9 +695,20 @@ class FixedStressSolver:                        # jit static_argnums=0 caches
 
     def materialize_u(self, state: State) -> State:
         """Fill ``state.u`` from the row-layout cache after a
-        ``want_u=False`` step (one transpose; no-op when already flat)."""
+        ``want_u=False`` step (one transpose; no-op when already flat).
+
+        Drains the state's async execution FIRST: on XLA:CPU with N
+        in-process virtual devices, tracing/compiling from_rows on the
+        main thread while a sharded scan is still executing starves the
+        device threads mid-collective past the rendezvous termination
+        timeout (~340 s) and ABORTS the process — observed
+        deterministically as the 4-threads-at-op-76 / 4-at-op-112
+        collective-permute split in the suite (tests/conftest.py notes).
+        On TPU this costs one RTT at a State boundary where the caller
+        is about to read the arrays anyway."""
         if state.u is not None:
             return state
+        jax.block_until_ready(state.u_rows)
         return state._replace(
             u=self.disc.row_ops.from_rows(state.u_rows))
 

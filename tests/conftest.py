@@ -51,8 +51,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # executes collectives stays cache-free; single-device modules keep the
 # warm-suite speedup.
 _SHARDED_MODULES = ("test_rows_sharding", "test_sharding",
-                    "test_ghost_sharding", "test_cli", "test_amr",
-                    "test_bucketing")
+                    "test_ghost_sharding", "test_parity_sharding",
+                    "test_cli", "test_amr", "test_bucketing")
 
 
 @pytest.fixture(autouse=True, scope="module")
